@@ -37,6 +37,7 @@ __all__ = [
     "extract_links",
     "extract_structure",
     "extract_page",
+    "extract_text",
     "STRUCTURE_SPARK_TYPE",
     "extract_batch",
 ]
@@ -69,6 +70,8 @@ class _Doc(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.title: str | None = None
         self._title_buf: list[str] | None = None
+        self.paragraphs: list[list[str]] = []
+        self._open_para: list[str] | None = None
         self.description: str | None = None
         self.robots: str | None = None
         self.rel_links: list[tuple[str, str]] = []  # (rel, href) doc order
@@ -115,6 +118,10 @@ class _Doc(HTMLParser):
         elif tag in _HEADING_LEVEL:
             self._open_heading = []
             self.headings.append((_HEADING_LEVEL[tag], self._open_heading))
+        elif tag == "p":
+            # HTML5 auto-closes an open <p> on a new <p> start tag.
+            self._open_para = []
+            self.paragraphs.append(self._open_para)
 
     def handle_startendtag(self, tag, attrs):
         if tag in ("script", "style", "noscript"):
@@ -137,6 +144,8 @@ class _Doc(HTMLParser):
             self._title_buf = None
         elif tag in _HEADING_LEVEL and self._open_heading is not None:
             self._open_heading = None
+        elif tag == "p":
+            self._open_para = None
 
     def handle_data(self, data):
         if self._cdata_tag is not None:
@@ -146,6 +155,8 @@ class _Doc(HTMLParser):
             self._title_buf.append(data)
         if self._open_heading is not None:
             self._open_heading.append(data)
+        if self._open_para is not None:
+            self._open_para.append(data)
 
 
 def _parse(html: str) -> _Doc:
@@ -209,7 +220,10 @@ def extract_links(html: str) -> dict[str, int]:
 def extract_structure(html: str) -> dict:
     """Reference ``ExtractStructure`` → plain dict matching
     :data:`STRUCTURE_SPARK_TYPE`."""
-    d = _parse(html)
+    return _structure_from_doc(_parse(html))
+
+
+def _structure_from_doc(d: _Doc) -> dict:
     s = {
         "title": trim_text(d.title or ""),
         "description": trim_text(d.description or ""),
@@ -251,6 +265,72 @@ def extract_structure(html: str) -> dict:
 def extract_page(html: str) -> tuple[dict[str, int], dict]:
     """(links, structure) in one parse-amortized call."""
     return extract_links(html), extract_structure(html)
+
+
+def extract_all(html: str) -> tuple[dict[str, int], dict, str]:
+    """(links, structure, text) from a single parse — the hot-path
+    variant used by the Spark extract stage. Field-identical to calling
+    :func:`extract_links` / :func:`extract_structure` /
+    :func:`extract_text` separately (all derive from the same ``_Doc``)."""
+    d = _parse(html)
+    # links (scrape.go:159-190)
+    links: dict[str, int] = {}
+    for rel, href in d.rel_links:
+        if rel == "canonical":
+            links[href] = links.get(href, 0) + 1
+            break
+    for href in d.anchors:
+        links[href] = links.get(href, 0) + 1
+    for text in d.noscript_texts:
+        sub = _AnchorOnly()
+        try:
+            sub.feed(text)
+            sub.close()
+        except Exception:
+            continue
+        for href in sub.anchors:
+            links[href] = links.get(href, 0) + 1
+    # structure (extract.go:17-70)
+    s = _structure_from_doc(d)
+    # text (engine contract)
+    parts: list[str] = []
+    if d.title:
+        t = trim_text(d.title)
+        if t:
+            parts.append(t)
+    for _, buf in d.headings:
+        t = trim_text("".join(buf))
+        if t:
+            parts.append(t)
+    for buf in d.paragraphs:
+        t = trim_text("".join(buf))
+        if t:
+            parts.append(t)
+    return links, s, "\n".join(parts)
+
+
+def extract_text(html: str) -> str:
+    """Engine text-extraction contract (the ``text`` column golden):
+    title, then every h1-h6, then every ``<p>``, each trimmed with the
+    walker cutset, joined by ``\\n``. The reference has no body-text
+    extractor (SURVEY.md §2.8 H3); this is our spec, and the synthetic
+    ``pages`` generator writes the same function's output so pytest can
+    assert byte-identity end to end."""
+    d = _parse(html)
+    parts: list[str] = []
+    if d.title:
+        t = trim_text(d.title)
+        if t:
+            parts.append(t)
+    for _, buf in d.headings:
+        t = trim_text("".join(buf))
+        if t:
+            parts.append(t)
+    for buf in d.paragraphs:
+        t = trim_text("".join(buf))
+        if t:
+            parts.append(t)
+    return "\n".join(parts)
 
 
 # Spark-side schema for the structure struct (SURVEY.md §1.2).

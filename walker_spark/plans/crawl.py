@@ -1,0 +1,478 @@
+"""The BSP crawl: walker's scrapeloop re-expressed as batch rounds.
+
+Per round (SURVEY.md §3.1 mapping of ``scrapeloop.go:202-368``):
+
+  frontier → politeness select (W5) → fetch join against ``pages`` (J1,
+  with redirect resolution) → vectorized extract (H1/H2, pandas UDF) →
+  explode links → native filter stack (F1-F9) → Bloom prefilter + exact
+  anti-join vs seen (J2) → union into next frontier (SE3) → checkpoint
+  (batch order, results, frontier, seen delta, metrics) → repeat until
+  the frontier drains (loop complete, ``scrapeloop.go:230-246``).
+
+Every stage materializes to the checkpoint (parquet now, Iceberg seam in
+sources/tables.py) and downstream stages read the files back — that
+truncates lineage, avoids re-running the extract UDF, and makes a killed
+job resume exactly from the last completed round (north rule).
+
+Fetching is a join, not HTTP: the ``pages`` table is the synthetic
+Common-Crawl stand-in (BASELINE.json input_hint); redirects live in a
+``redirect_edges(src, code, dst)`` side table resolved once into a
+transitive ``redirect_map`` by pointer doubling (cap 10,
+``scrapeloop.go:66-67``). Durations are the engine's deterministic
+pseudo-durations (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..dispatcher import REDIRECT_CAP, _derive_group, _status_line
+from ..functions.extract import STRUCTURE_SPARK_TYPE, extract_all
+from ..functions.hashing import synthetic_duration_us, synthetic_time_us
+from ..functions.robots import parse_robots
+from ..operators.linkfilter import apply_link_filters, authority_of, scheme_of
+from ..operators.politeness import select_fetch_batch
+from ..operators.seen import BloomShards, seen_anti_join
+from ..sources.tables import ParquetTableIO, atomic_write_json, read_json
+from ..urlnorm import normalize_link, url_host, url_path
+
+__all__ = ["Crawler", "RESULT_SCHEMA", "resolve_redirects", "fetch_and_extract", "link_candidates"]
+
+RESULT_SCHEMA = (
+    "url string, host string, depth int, round int, batch_pos long, "
+    "code int, status string, content_type string, group string, error string, "
+    "duration_us long, time_us long, "
+    "redirects array<struct<code:int,url:string>>, "
+    "links map<string,int>, normalized_links map<string,int>, "
+    "link_norms array<string>, link_next_norm string, link_prev_norm string, "
+    f"structure {STRUCTURE_SPARK_TYPE}, text string"
+)
+
+FRONTIER_COLS = ["url", "host", "depth", "link_count"]
+
+RESULT_COLUMNS = [f.strip().split(" ")[0] for f in RESULT_SCHEMA.split(", ")]
+
+
+def resolve_redirects(redirects: DataFrame, cap: int = REDIRECT_CAP) -> DataFrame:
+    """redirect_edges(src, code, dst) → redirect_map(src, final_url,
+    redirects array<struct<code,url>>, error).
+
+    Pointer doubling: ceil(log2(cap)) self-joins resolve chains up to
+    ``cap`` hops — O(log cap) shuffles regardless of chain count. Chains
+    longer than the cap get walker's "stopped after 10 redirects" error
+    (``scrapeloop.go:65-80``); redirect cycles hit the cap and error too.
+    """
+    # state: src, cur (chain head), chain, done
+    m = redirects.select(
+        F.col("src"),
+        F.col("dst").alias("cur"),
+        F.array(F.struct(F.col("code").cast("int").alias("code"), F.col("dst").alias("url"))).alias("chain"),
+    )
+    edges = redirects.select(
+        F.col("src").alias("e_src"),
+        F.col("dst").alias("e_dst"),
+        F.col("code").cast("int").alias("e_code"),
+    )
+    for _ in range(cap - 1):
+        m = m.join(edges, m["cur"] == edges["e_src"], "left").select(
+            "src",
+            F.coalesce(F.col("e_dst"), F.col("cur")).alias("cur"),
+            F.when(
+                F.col("e_dst").isNotNull(),
+                F.concat(
+                    F.col("chain"),
+                    F.array(F.struct(F.col("e_code").alias("code"), F.col("e_dst").alias("url"))),
+                ),
+            )
+            .otherwise(F.col("chain"))
+            .alias("chain"),
+        )
+    # After `cap` extensions: a still-unresolved head (cur has an
+    # outgoing edge) exceeds walker's cap → error, like the 11th
+    # redirect in CheckRedirect (scrapeloop.go:65-80). Cycles land here.
+    m = m.join(edges, m["cur"] == edges["e_src"], "left")
+    overflow = F.col("e_dst").isNotNull()
+    return m.select(
+        "src",
+        F.when(overflow, F.lit(None)).otherwise(F.col("cur")).alias("final_url"),
+        F.col("chain").alias("redirects"),
+        F.when(overflow, F.lit("stopped after 10 redirects")).otherwise(F.lit("")).alias("error"),
+    )
+
+
+def fetch_and_extract(
+    batch: DataFrame,
+    pages: DataFrame,
+    redirect_map: DataFrame | None,
+    round_no: int,
+    group_header_enabled: bool,
+    multi_host: bool,
+    base_url: str,
+) -> DataFrame:
+    """J1 + H1/H2: the fetch join and the vectorized extract stage.
+
+    Column pruning matters at 100 TB: only ``url`` and ``html`` of
+    ``pages`` are read (the parquet scan never touches ``text``/``lang``
+    here), and the html binary exists only inside this stage.
+    """
+    b = batch
+    if "batch_pos" not in b.columns:
+        b = b.withColumn("batch_pos", F.lit(-1).cast("long"))
+    if redirect_map is not None:
+        j = b.join(redirect_map.withColumnRenamed("src", "url"), "url", "left")
+        j = j.select(
+            "url",
+            "host",
+            "depth",
+            "link_count",
+            "batch_pos",
+            F.coalesce(F.col("final_url"), F.col("url")).alias("final_url"),
+            F.coalesce(F.col("redirects"), F.array().cast("array<struct<code:int,url:string>>")).alias("redirects"),
+            F.coalesce(F.col("error"), F.lit("")).alias("fetch_error"),
+        )
+    else:
+        j = b.select(
+            "url",
+            "host",
+            "depth",
+            "link_count",
+            "batch_pos",
+            F.col("url").alias("final_url"),
+            F.array().cast("array<struct<code:int,url:string>>").alias("redirects"),
+            F.lit("").alias("fetch_error"),
+        )
+    p = pages.select(F.col("url").alias("page_url"), F.col("html"))
+    joined = j.join(p, j["final_url"] == p["page_url"], "left")
+
+    rn = round_no
+    ghe = group_header_enabled
+    mh = multi_host
+    burl = base_url
+
+    def extract_fn(batches):
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                url = t.url
+                err = t.fetch_error or ""
+                redirects = [
+                    {"code": int(r["code"]), "url": r["url"]} for r in (t.redirects or [])
+                ]
+                row = {
+                    "url": url,
+                    "host": t.host,
+                    "depth": int(t.depth),
+                    "round": rn,
+                    "batch_pos": int(t.batch_pos),
+                    "code": 0,
+                    "status": "",
+                    "content_type": "",
+                    "group": "default",
+                    "error": err,
+                    "duration_us": synthetic_duration_us(url),
+                    "time_us": synthetic_time_us(rn, int(t.batch_pos)),
+                    "redirects": redirects,
+                    "links": {},
+                    "normalized_links": {},
+                    "link_norms": [],
+                    "link_next_norm": "",
+                    "link_prev_norm": "",
+                    "structure": None,
+                    "text": "",
+                }
+                if err:
+                    rows.append(row)
+                    continue
+                if t.html is None:
+                    row["code"] = 404
+                    row["status"] = _status_line(404)
+                    row["content_type"] = "text/plain; charset=utf-8"
+                    rows.append(row)
+                    continue
+                row["code"] = 200
+                row["status"] = _status_line(200)
+                row["content_type"] = "text/html; charset=utf-8"
+                row["group"] = _derive_group(url_path(t.final_url), ghe)
+                html = bytes(t.html).decode("utf-8", errors="replace")
+                links, structure, text = extract_all(html)
+                base = (
+                    f"{url.split('://', 1)[0]}://{url_host(url)}" if mh else burl
+                )
+                nl: dict[str, int] = {}
+                norms: list[str] = []
+                for raw, c in links.items():
+                    n = normalize_link(base, raw)
+                    if n is not None:
+                        nl[n] = c
+                        norms.append(n)
+                row["links"] = links
+                row["normalized_links"] = nl
+                row["link_norms"] = norms
+                row["link_next_norm"] = normalize_link(base, structure["link_next"]) or ""
+                row["link_prev_norm"] = normalize_link(base, structure["link_prev"]) or ""
+                row["structure"] = structure
+                row["text"] = text
+                rows.append(row)
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {c: [] for c in RESULT_COLUMNS}
+            )
+
+    return joined.mapInPandas(extract_fn, RESULT_SCHEMA)
+
+
+def link_candidates(
+    results_new: DataFrame,
+    conf: CrawlConfig,
+    robots_bodies: dict[str, str] | None,
+    spark: SparkSession,
+) -> DataFrame:
+    """Explode the round's surviving links into the aggregated candidate
+    frame (url, host, depth, link_count): depth = min discoverer depth +
+    1, link_count = number of surviving raw hrefs normalizing to the url
+    across all discovering pages (the dispatcher-spec merge)."""
+    cands = results_new.select(
+        F.col("url").alias("src_url"),
+        F.col("host").alias("src_host"),
+        scheme_of(F.col("url")).alias("src_scheme"),
+        F.col("depth"),
+        F.explode(F.col("link_norms")).alias("link"),
+        F.col("link_next_norm"),
+        F.col("link_prev_norm"),
+        F.col("structure.robots").alias("page_robots"),
+    )
+    filtered = apply_link_filters(cands, conf, robots_bodies, spark)
+    return (
+        filtered.groupBy(F.col("link").alias("url"))
+        .agg(
+            (F.min("depth") + 1).alias("depth"),
+            F.count(F.lit(1)).alias("link_count"),
+        )
+        .withColumn("host", authority_of(F.col("url")))
+        .select(*FRONTIER_COLS)
+    )
+
+
+@dataclass
+class RoundMetrics:
+    round: int
+    fetched: int = 0
+    new_links: int = 0
+    frontier: int = 0
+    seconds: dict = field(default_factory=dict)
+
+
+class Crawler:
+    """BSP crawl driver with checkpoint/resume.
+
+    ``pages``/``redirect_edges`` come from parquet dirs or DataFrames;
+    ``robots_bodies`` is a small host→robots.txt dict (broadcast).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        conf: CrawlConfig,
+        pages: DataFrame,
+        redirect_edges: DataFrame | None = None,
+        robots_bodies: dict[str, str] | None = None,
+        checkpoint_dir: str = "/tmp/walker_spark_ckpt",
+        multi_host: bool = False,
+        seeds: list[str] | None = None,
+        record_order: bool = False,
+        use_bloom: bool = True,
+    ):
+        self.spark = spark
+        self.conf = conf
+        self.pages = pages
+        self.redirect_edges = redirect_edges
+        self.robots_bodies = robots_bodies or {}
+        self.io = ParquetTableIO(spark, checkpoint_dir)
+        self.multi_host = multi_host
+        self.seeds = seeds if seeds is not None else conf.seed_urls()
+        self.record_order = record_order
+        self.use_bloom = use_bloom
+        self.metrics: list[RoundMetrics] = []
+
+    # ---- fail-start (scrapeloop.go:281-289) ----
+    def check_seeds(self) -> list[str]:
+        forbidden = []
+        if self.conf.ignore_robots:
+            return forbidden
+        for s in self.seeds:
+            host = url_host(s)
+            body = self.robots_bodies.get(host)
+            if body is None:
+                continue
+            g = parse_robots(body).find_group(self.conf.agent)
+            if not g.test(url_path(s) or "/"):
+                forbidden.append(s)
+        return forbidden
+
+    def _manifest_path(self) -> str:
+        return self.io.path("manifest.json")
+
+    def _seed_frontier(self) -> DataFrame:
+        rows = []
+        seen_urls = set()
+        for s in self.seeds:
+            if s in seen_urls:
+                continue
+            seen_urls.add(s)
+            rows.append((s, url_host(s), 0, 0))
+        return self.spark.createDataFrame(
+            rows, "url string, host string, depth int, link_count int"
+        )
+
+    def _append_metrics(self, m: RoundMetrics) -> None:
+        self.metrics.append(m)
+        with open(self.io.path("metrics.jsonl"), "a") as f:
+            f.write(json.dumps(m.__dict__) + "\n")
+
+    def run(self, resume: bool = False) -> dict:
+        conf = self.conf
+        io = self.io
+        t_start = time.time()
+
+        forbidden = self.check_seeds()
+        if forbidden and not self.multi_host:
+            raise RuntimeError(
+                "robots.txt does not allow access to the following path "
+                "(you can either ignore robots or try as a different user agent): "
+                + ", ".join(url_path(u) for u in forbidden)
+            )
+        seeds_ok = [s for s in self.seeds if s not in set(forbidden)]
+
+        redirect_map = None
+        if self.redirect_edges is not None:
+            if not io.exists("redirect_map"):
+                io.write(resolve_redirects(self.redirect_edges), "redirect_map")
+            redirect_map = io.read("redirect_map")
+
+        manifest = read_json(self._manifest_path()) if resume else None
+        if manifest is not None:
+            start_round = manifest["round"] + 1
+            frontier = io.read(f"rounds/r={manifest['round']:05d}/frontier")
+            seen_names = [f"seen/r={k:05d}" for k in range(-1, manifest["round"] + 1) if io.exists(f"seen/r={k:05d}")]
+            seen = io.read_many(seen_names)
+        else:
+            start_round = 0
+            self.seeds = seeds_ok
+            frontier_df = self._seed_frontier()
+            io.write(frontier_df, "rounds/r=-0001/frontier")
+            frontier = io.read("rounds/r=-0001/frontier")
+            io.write(frontier.select("url"), "seen/r=-0001")
+            seen = io.read("seen/r=-0001")
+            seen_names = ["seen/r=-0001"]
+
+        bloom = None
+        if self.use_bloom:
+            bloom = BloomShards.sized_for(max(1_000_000, 4 * 10**6))
+            bloom.add_urls_distributed(seen.select("url"))
+
+        r = start_round
+        frontier_n = frontier.count()
+        total_fetched = 0
+        while frontier_n > 0 and (conf.max_rounds <= 0 or r < conf.max_rounds):
+            m = RoundMetrics(round=r, frontier=frontier_n)
+            rd = f"rounds/r={r:05d}"
+
+            t0 = time.time()
+            batch = select_fetch_batch(
+                frontier, conf.host_budget, conf.hot_host_salts, self.record_order
+            )
+            io.write(batch, f"{rd}/batch")
+            batch = io.read(f"{rd}/batch")
+            m.seconds["select"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            results = fetch_and_extract(
+                batch,
+                self.pages,
+                redirect_map,
+                r,
+                conf.group_header != "",
+                self.multi_host,
+                conf.target.base_url,
+            )
+            io.write(results, f"{rd}/results")
+            results = io.read(f"{rd}/results")
+            m.fetched = results.count()
+            total_fetched += m.fetched
+            m.seconds["fetch_extract"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            cand = link_candidates(results, conf, self.robots_bodies, self.spark)
+            new = seen_anti_join(cand, seen, bloom).select(*FRONTIER_COLS)
+            leftover = frontier.join(batch.select("url"), "url", "left_anti").select(
+                *FRONTIER_COLS
+            )
+            io.write(leftover.unionByName(new), f"{rd}/frontier")
+            next_frontier = io.read(f"{rd}/frontier")
+            io.write(next_frontier.join(seen, "url", "left_anti").select("url"), f"seen/r={r:05d}")
+            new_seen = io.read(f"seen/r={r:05d}")
+            m.new_links = new_seen.count()
+            seen_names.append(f"seen/r={r:05d}")
+            seen = io.read_many(seen_names)
+            if bloom is not None and m.new_links > 0:
+                bloom.add_urls_distributed(new_seen)
+            m.seconds["frontier"] = round(time.time() - t0, 3)
+
+            atomic_write_json(self._manifest_path(), {"round": r, "frontier_rows": 0})
+            frontier = next_frontier
+            frontier_n = frontier.count()
+            self._append_metrics(m)
+            r += 1
+
+        wall = time.time() - t_start
+        summary = {
+            "rounds": r,
+            "total_fetched": total_fetched,
+            "wall_seconds": round(wall, 3),
+            "fetched_per_second": round(total_fetched / wall, 2) if wall > 0 else 0.0,
+            "result_dirs": [f"rounds/r={k:05d}/results" for k in range(r)],
+        }
+        atomic_write_json(io.path("summary.json"), summary)
+        return summary
+
+    # ---- accessors over the checkpointed crawl ----
+    def _round_dirs(self) -> list[str]:
+        base = os.path.join(self.io.root, "rounds")
+        if not os.path.isdir(base):
+            return []
+        return [
+            d
+            for d in sorted(os.listdir(base))
+            if d.startswith("r=") and not d.endswith("-0001")
+        ]
+
+    def results_df(self) -> DataFrame:
+        names = [
+            f"rounds/{d}/results"
+            for d in self._round_dirs()
+            if self.io.exists(f"rounds/{d}/results")
+        ]
+        return self.io.read_many(names)
+
+    def order_df(self) -> DataFrame:
+        dfs = None
+        for d in self._round_dirs():
+            if not self.io.exists(f"rounds/{d}/batch"):
+                continue
+            rdf = self.io.read(f"rounds/{d}/batch").withColumn(
+                "round", F.lit(int(d[2:]))
+            )
+            dfs = rdf if dfs is None else dfs.unionByName(rdf)
+        return dfs
+
+    def seen_df(self) -> DataFrame:
+        base = os.path.join(self.io.root, "seen")
+        names = [f"seen/{d}" for d in sorted(os.listdir(base))]
+        return self.io.read_many(names)
