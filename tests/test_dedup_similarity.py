@@ -1,0 +1,165 @@
+"""Dedup + similarity operators: exactness, LSH recall vs exact oracle,
+simhash banding completeness."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+        (2, "The quick brown fox, jumps over the lazy dog again and again!"),  # normalized dup
+        (3, "the quick brown fox jumps over the very lazy dog again and again"),  # near dup
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "totally unrelated content regarding bloom filters and crawling"),
+        (6, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from walker_spark.operators.dedup import exact_dedup
+
+    groups = exact_dedup(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_dups"] == 3 and g["keep_id"] == 0 and g["dup_ids"] == [0, 1, 2]
+
+
+def test_ngram_jaccard_oracle(docs):
+    from walker_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0
+    assert (0, 3) in pairs and (0, 6) in pairs
+    assert (0, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_lsh_matches_exact_oracle(docs):
+    """Property (SURVEY §5.4 flavor): LSH-found pairs at high threshold
+    must equal the exact Jaccard pairs (banding recall at j≥0.7 with
+    16 bands × 4 rows is ~1 for this scale)."""
+    from walker_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.7).collect()
+    }
+    # verification step makes precision exact; banding gives recall
+    assert lsh == exact and len(exact) >= 3
+
+
+def test_simhash_finds_near_dups(docs):
+    from walker_spark.operators.dedup import simhash_pairs
+
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert (4, 5) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    # make 3 clusters by copying with small noise
+    rows = []
+    for i in range(40):
+        v = base[i % 10] + 0.05 * base[i]
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    from walker_spark.operators.similarity import cosine_topk
+
+    q = vectors.filter(F.col("vec_id") < 3)
+    res = cosine_topk(vectors, q, k=5)
+    rows = res.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        cos = [r["cos"] for r in rs]
+        assert cos == sorted(cos, reverse=True)
+        # nearest neighbor of i should be i+10 or i+20 (same cluster)
+        assert rs[0]["neighbor_id"] % 10 == qid % 10
+
+
+def test_lsh_topk_recall(vectors):
+    from walker_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    q = vectors.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(vectors, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_cosine_topk(vectors, q, k=3, bands=12, rows_per_band=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    from walker_spark.operators.multimodal import (
+        attach_media_metadata,
+        decode_and_featurize,
+    )
+
+    rows = [
+        (1, "image", "image/png", 3, 0, 0, 0, bytearray(b"abc")),
+        (2, "audio", "audio/wav", 4, 0, 0, 120, bytearray(b"defg")),
+        (3, "image", "image/png", 3, 0, 0, 0, bytearray(b"abc")),  # dup blob
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, n_bytes long, "
+        "width int, height int, duration_ms int, blob binary",
+    )
+    meta = attach_media_metadata(df)
+    hashes = {r["media_id"]: r["content_hash"] for r in meta.collect()}
+    assert hashes[1] == hashes[3] != hashes[2]
+
+    feats = decode_and_featurize(df, decoder="fake").collect()
+    assert all(r["ok"] for r in feats)
+    by_id = {r["media_id"]: r["feat"] for r in feats}
+    assert by_id[1] == by_id[3] != by_id[2]
+    assert len(by_id[1]) == 16
+
+    stub = decode_and_featurize(df, decoder="stub").collect()
+    assert all(not r["ok"] and "decoder" in r["err"] for r in stub)
+
+
+def test_text_analytics(spark):
+    from walker_spark.functions.text import language_id_udf, quality_metrics
+
+    rows = [
+        (1, "The quick brown fox and the lazy dog of the town in the morning.", "en"),
+        (2, "Der schnelle braune Fuchs springt über den faulen Hund und die Katze.", "de"),
+        (3, "Le renard brun rapide saute par dessus le chien paresseux dans la rue.", "fr"),
+        (4, "这是一个中文测试文档，包含足够多的中文字符来触发检测。", "zh"),
+        (5, "12345 67890 !!! ???", "unk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, want string")
+    got = {r["doc_id"]: r["pred"] for r in df.withColumn("pred", language_id_udf()(F.col("text"))).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[4] == "zh"
+
+    q = quality_metrics(df).collect()
+    m = {r["doc_id"]: r for r in q}
+    assert m[1]["n_tokens"] == 14
+    assert m[1]["quality_score"] > m[5]["quality_score"]
+    assert 0 <= m[1]["stopword_ratio"] <= 1

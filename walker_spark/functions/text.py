@@ -1,0 +1,149 @@
+"""Text analytics for large-scale training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All hot paths are native ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage codegen); language ID is the one pandas UDF (per-language
+n-gram profiles need dict lookups). Everything is deterministic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "token_count_expr",
+    "quality_metrics",
+    "fingerprint_expr",
+    "language_id_udf",
+    "STOPWORDS",
+]
+
+# Tiny per-language stopword profiles (public common-word lists).
+STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for", "on", "with", "as", "this"},
+    "de": {"der", "die", "das", "und", "ist", "zu", "den", "mit", "von", "ein", "eine", "nicht", "auf"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "un", "une", "que", "pour", "dans", "qui"},
+    "es": {"el", "la", "los", "las", "de", "y", "es", "un", "una", "que", "por", "con", "para"},
+    "it": {"il", "la", "di", "e", "che", "un", "una", "per", "con", "del", "non", "sono"},
+    "zh": set(),  # CJK: detected by script, not stopwords
+}
+
+# A BPE-ish token regex: word pieces, numbers, or single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+(?:'[a-z]+)?|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def token_count_expr(text: Column, mode: str = "whitespace") -> Column:
+    """Token count. ``whitespace``: split on runs of whitespace (the
+    cheap estimator); ``bpe``: count TOKEN_REGEX matches (closer to a
+    subword tokenizer's pre-tokenization)."""
+    if mode == "whitespace":
+        toks = F.split(F.trim(text), r"\s+")
+        return F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks))
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text", lang_col: str | None = None) -> DataFrame:
+    """Adds document-quality columns (all native exprs):
+
+    * n_chars_m, n_tokens, avg_token_len
+    * punct_ratio   — punctuation chars / chars
+    * digit_ratio   — digit chars / chars
+    * upper_ratio   — uppercase chars / letters
+    * stopword_ratio — stopword tokens / tokens (against the doc's lang
+      profile when ``lang_col`` given, else English)
+    * quality_score — a simple composite in [0,1]
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_expr(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    safe = lambda num, den: F.when(den > 0, F.round(num / den, 4)).otherwise(F.lit(0.0))  # noqa: E731
+
+    tokens = F.split(F.lower(F.trim(t)), r"\s+")
+    if lang_col is not None:
+        stop_arr = None
+        for lang, words in STOPWORDS.items():
+            arr = F.array(*[F.lit(w) for w in sorted(words)]) if words else F.array().cast("array<string>")
+            cond = F.col(lang_col) == lang
+            stop_arr = F.when(cond, arr) if stop_arr is None else stop_arr.when(cond, arr)
+        stop_arr = stop_arr.otherwise(F.array(*[F.lit(w) for w in sorted(STOPWORDS["en"])]))
+    else:
+        stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS["en"])])
+    n_stop = F.size(F.filter(tokens, lambda tok: F.array_contains(stop_arr, tok)))
+
+    out = (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("avg_token_len", safe(n_chars - (n_tokens - 1), n_tokens))
+        .withColumn("punct_ratio", safe(n_punct, n_chars))
+        .withColumn("digit_ratio", safe(n_digit, n_chars))
+        .withColumn("upper_ratio", safe(n_upper, n_alpha))
+        .withColumn("stopword_ratio", safe(n_stop, n_tokens))
+    )
+    score = (
+        F.lit(1.0)
+        - F.least(F.col("punct_ratio") * 2, F.lit(0.5))
+        - F.least(F.col("digit_ratio"), F.lit(0.3))
+    ) * F.when(
+        (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100_000), F.lit(1.0)
+    ).otherwise(F.lit(0.3))
+    return out.withColumn("quality_score", F.round(score, 4))
+
+
+def fingerprint_expr(text: Column, window: int = 8) -> Column:
+    """Document fingerprint: xxhash64 over the sequence of per-window
+    token-shingle hashes (a rolling-hash flavor computed natively:
+    tokens → sliding windows via transform over index range → min-hash
+    sample → final hash). Stable, order-sensitive, JVM-side."""
+    toks = F.filter(F.split(F.lower(text), r"\W+"), lambda s: s != F.lit(""))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+    )
+    return F.xxhash64(F.concat_ws(",", F.transform(F.array_sort(shingles), lambda h: h.cast("string"))))
+
+
+_PROFILES = {
+    # top character trigrams per language (hand-built from public common
+    # word lists — deterministic heuristic, not a trained model)
+    "en": ["the", " th", "he ", "ing", "and", " an", "nd ", " of", "of ", "ion", "tio", " to", "er "],
+    "de": ["der", "ie ", "ein", "ch ", "die", "sch", "en ", "und", " un", "cht", " de", "ung", "gen"],
+    "fr": ["es ", "de ", " de", "le ", "ent", " le", "la ", " la", "ion", "que", " qu", "re ", "ant"],
+    "es": ["de ", " de", "la ", " la", "os ", "el ", " el", "ión", "es ", "que", " qu", "ent", "ado"],
+    "it": ["di ", " di", "la ", "to ", "re ", "che", " ch", "ion", "one", "ell", " co", "del", "are"],
+}
+
+
+def language_id_udf():
+    """Heuristic language ID: CJK by Unicode block, else best-matching
+    trigram profile, else 'unk'. Arrow-batched pandas UDF."""
+
+    @pandas_udf("string")
+    def lang_id(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = (t or "").lower()
+            if not t:
+                out.append("unk")
+                continue
+            cjk = sum(1 for ch in t[:400] if "一" <= ch <= "鿿")
+            if cjk > len(t[:400]) * 0.2:
+                out.append("zh")
+                continue
+            sample = t[:1000]
+            best, best_score = "unk", 0
+            for lang, grams in _PROFILES.items():
+                score = sum(sample.count(g) for g in grams)
+                if score > best_score:
+                    best, best_score = lang, score
+            out.append(best if best_score >= 2 else "unk")
+        return pd.Series(out)
+
+    return lang_id

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk` — brute-force exact top-k: native ``zip_with`` +
+  ``aggregate`` dot products (JVM-side, no Python), query set broadcast,
+  per-query top-k via window. The baseline and the test oracle.
+* :func:`lsh_cosine_topk` — the scale path: random-hyperplane LSH.
+  Sign-bit signatures are native exprs over a broadcast hyperplane set;
+  candidates come from matching any of ``bands`` signature bands, then
+  exact cosine re-ranks. Tunable recall; never touches the full O(n·q)
+  product.
+
+At 100 TB the corpus side stays partitioned; only queries broadcast.
+An IVF variant would replace the band join with a centroid assignment
+join — same skeleton.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk", "lsh_cosine_topk"]
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    d = dot_expr(a, b)
+    na, nb = norm_expr(a), norm_expr(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos) per query, rank
+    by cos desc then neighbor_id asc (deterministic ties)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cos", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6)
+    )
+    if not include_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _signature_expr(vec: Column, planes: list[list[float]], band: int, rows: int) -> Column:
+    """Pack the sign bits of `rows` hyperplane projections (band b) into
+    one long — all native arithmetic."""
+    sig = F.lit(0).cast("long")
+    for i in range(rows):
+        plane = planes[band * rows + i]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(p)) for p in plane]),
+                lambda x, p: x * p,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH: candidates =
+    vectors sharing ≥1 of ``bands`` sign-bit bands with the query, exact
+    cosine re-rank on candidates only."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bands * rows_per_band, seed)
+
+    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        cols = [F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)]
+        sig_arr = F.array(
+            *[
+                _signature_expr(F.col(vec_col), planes, b, rows_per_band)
+                for b in range(bands)
+            ]
+        )
+        return df.select(*cols, F.posexplode(sig_arr).alias("band", "bucket"))
+
+    cb = banded(corpus, "neighbor_id", "c_vec")
+    qb = banded(queries, "query_id", "q_vec")
+    cand = (
+        cb.join(qb, ["band", "bucket"])
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if not include_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.withColumn(
+        "cos", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
