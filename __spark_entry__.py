@@ -1,38 +1,739 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: a BSP crawl (walker_spark.plans.crawl) over
+a pages table derived deterministically from ``documents.parquet``,
+returning the A1 status histogram of the crawl results.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 (re-expressed over the driver's pre-registered tables
+where the crawl tables aren't available to the DuckDB oracle, per
+FIXTURES.md §7) plus the training-data operators. Every aggregate /
+computed column is aliased identically on both sides. Entries without
+SQL-expressible semantics (LSH, SimHash, language ID, fingerprints,
+politeness windows) have no oracle — the driver records rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_pages(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[str]]:
+    """Deterministic pages table derived from ``documents``: one page per
+    doc at ``https://{source}.example/d/{doc_id}.html``; outlinks to the
+    next 3 docs of the same source (by doc_id order) — but only when
+    ``doc_id % 7 < 4``, so link chains break and the reachable set is a
+    non-trivial fixpoint (SQL oracle: recursive CTE)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+        F.lead("doc_id", 3).over(w).alias("n3"),
+    )
+    link = lambda c: F.when(  # noqa: E731
+        c.isNotNull(), F.format_string('<a href="/d/%d.html">n</a>', c)
+    ).otherwise(F.lit(""))
+    links_html = F.when(
+        F.col("doc_id") % 7 < 4,
+        F.concat(link(F.col("n1")), link(F.col("n2")), link(F.col("n3"))),
+    ).otherwise(F.lit(""))
+    pages = d.select(
+        F.format_string("https://%s.example/d/%d.html", F.col("source"), F.col("doc_id")).alias("url"),
+        F.concat(F.lit("src-"), F.col("source")).alias("host"),
+        F.concat(
+            F.format_string(
+                "<html><head><title>Doc %d</title></head><body><h1>Doc %d</h1><p>",
+                F.col("doc_id"),
+                F.col("doc_id"),
+            ),
+            F.col("text"),
+            F.lit("</p>"),
+            links_html,
+            F.lit("</body></html>"),
+        ).cast("binary").alias("html"),
+    )
+    seeds = [
+        f"https://{r['source']}.example/d/{r['mn']}.html"
+        for r in docs.groupBy("source").agg(F.min("doc_id").alias("mn")).collect()
+    ]
+    return pages, sorted(seeds)
+
+
+def _run_doc_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from walker_spark.config import CrawlConfig, Target
+    from walker_spark.plans.crawl import Crawler
+
+    pages, seeds = _docs_pages(spark, sf_dir)
+    conf = CrawlConfig(
+        target=Target(base_url="https://crawl.example", paths=["/"]),
+        host_budget=0,  # unlimited per round: pure BFS
+        agent="walker-spark",
+    )
+    ckpt = tempfile.mkdtemp(prefix="walker_spark_entry_")
+    crawler = Crawler(
+        spark,
+        conf,
+        pages=pages,
+        redirect_edges=None,
+        robots_bodies={},
+        checkpoint_dir=ckpt,
+        multi_host=True,
+        seeds=seeds,
+        use_bloom=False,  # tiny crawl; bloom build costs more than it saves
+    )
+    crawler.run()
+    return crawler.results_df()
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BSP crawl over the documents-derived pages table at
+    sf0.001, returning the status-code histogram (A1) of the results."""
+    from walker_spark.operators.reports import status_histogram
+
+    return status_histogram(_run_doc_crawl(spark, DEFAULT_SF))
+
+
+# ---------------------------------------------------------------- queries
+
+def q_crawl_status_histogram(spark, sf):
+    from walker_spark.operators.reports import status_histogram
+
+    return status_histogram(_run_doc_crawl(spark, sf)).select(
+        "code", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def q_a1_event_histogram(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+def q_a2_latency_buckets(spark, sf):
+    from walker_spark.functions.buckets import bucket_expr
+
+    ev = _t(spark, sf, "events").withColumn(
+        "duration_us", (F.col("value") * 50_000).cast("long")
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        ev.withColumn("bucket", bucket_expr(F.col("duration_us")))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("pct", F.round(F.col("cnt") / F.sum("cnt").over(w) * 100))
+        .orderBy("event_type", "bucket")
+    )
+
+
+def q_a3_group_counts(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_orderpriority"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_a4_minmax(spark, sf):
+    return _t(spark, sf, "events").agg(
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+def q_a12_quantiles(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_quantity", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+def q_w1_highscore(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return (
+        ev.select("event_id", F.round("value", 2).alias("value"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+    )
+
+
+def q_w3_pagination(spark, sf):
+    c = _t(spark, sf, "customer")
+    w = Window.orderBy(F.col("c_name").asc(), F.col("c_custkey").asc())
+    return (
+        c.select("c_custkey", "c_name")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 150) & (F.col("rn") <= 200))
+    )
+
+
+def q_w4_top20_truncation(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_partkey") <= 200)
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("l_orderkey")), 1, 20),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("first_orders"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+def q_j3_broken_links(spark, sf):
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf, "lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("l_suppkey")), 1, 20),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("sources"),
+            F.count("l_suppkey").alias("n_sources"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q_j4_reverse_links(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_suppkey") <= 50)
+    return (
+        li.select("l_suppkey", "l_partkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_set("l_partkey")), lambda x: x.cast("string")
+                ),
+            ).alias("parts"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def q_a6_duplications(spark, sf):
+    n = _t(spark, sf, "nation")
+    return (
+        n.groupBy(F.col("n_regionkey"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("n_name"))).alias("members"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("n_regionkey")
+    )
+
+
+def q_a7_missing_elements(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.filter(F.col("n_chars") < 60).select("doc_id").orderBy("doc_id")
+
+
+def q_f10_filter_chain(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .filter((F.col("value") > 50) & (F.col("value") < 150))
+        .filter(F.col("props").startswith('{"k": 1'))
+        .select("event_id", "event_type", F.round("value", 2).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+def q_f12_error_classes(spark, sf):
+    o = _t(spark, sf, "orders")
+    cls = (
+        F.when(F.col("o_totalprice") < 50_000, "low")
+        .when(F.col("o_totalprice") < 150_000, "mid")
+        .when(F.col("o_totalprice") < 300_000, "high")
+        .otherwise("extreme")
+    )
+    return (
+        o.withColumn("price_class", cls)
+        .groupBy("price_class")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("price_class")
+    )
+
+
+def q_a10_redirect_maxcode(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max("value").alias("mx"))
+        .withColumn("max_bucket", F.floor(F.col("mx") / 50).cast("long"))
+        .groupBy("max_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("max_bucket")
+    )
+
+
+def q_tpch_revenue_by_nation(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_tpch_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---- training-data operators ----
+
+def q_dedup_exact_prefix(spark, sf):
+    """Exact dedup on a first-8-token signature (documents have no
+    byte-identical dups at these SFs; the prefix key exercises the same
+    hash-groupBy plan with non-trivial groups)."""
+    d = _t(spark, sf, "documents")
+    sig = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
+    ).alias("sig")
+    return (
+        d.select(sig, F.col("doc_id"))
+        .groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+            F.concat_ws(
+                ",",
+                F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+            ).alias("members"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy("sig")
+    )
+
+
+def q_dedup_jaccard_pairs(spark, sf):
+    """Exact 3-gram-shingle Jaccard near-dup pairs (the oracle-checkable
+    exact path; MinHash-LSH below is the scale path, rows-only)."""
+    from walker_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(d, threshold=0.35).orderBy("id_a", "id_b")
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    from walker_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(d, jaccard_threshold=0.35, bands=32, num_hashes=128).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_dedup_simhash(spark, sf):
+    from walker_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf, "documents")
+    return simhash_pairs(d, max_hamming=8).orderBy("id_a", "id_b")
+
+
+def q_text_token_counts(spark, sf):
+    from walker_spark.functions.text import token_count_expr
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("n_tokens", token_count_expr(F.col("text")).cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_text_quality(spark, sf):
+    from walker_spark.functions.text import quality_metrics
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return quality_metrics(d, "text", "lang").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        "digit_ratio",
+    ).orderBy("doc_id")
+
+
+def q_text_langid(spark, sf):
+    from walker_spark.functions.text import language_id_udf
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id", language_id_udf()(F.col("text")).alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+def q_text_fingerprint(spark, sf):
+    from walker_spark.functions.text import fingerprint_expr
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id", fingerprint_expr(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def q_ann_cosine_topk(spark, sf):
+    from walker_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return (
+        cosine_topk(emb, q, k=10)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_ann_lsh_topk(spark, sf):
+    from walker_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return (
+        lsh_cosine_topk(emb, q, k=10, bands=16, rows_per_band=6)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+        .orderBy("query_id", "rank")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "crawl_status_histogram": q_crawl_status_histogram,
+        "a1_event_histogram": q_a1_event_histogram,
+        "a2_latency_buckets": q_a2_latency_buckets,
+        "a3_group_counts": q_a3_group_counts,
+        "a4_minmax": q_a4_minmax,
+        "a12_quantiles": q_a12_quantiles,
+        "w1_highscore": q_w1_highscore,
+        "w3_pagination": q_w3_pagination,
+        "w4_top20_truncation": q_w4_top20_truncation,
+        "j3_broken_links": q_j3_broken_links,
+        "j4_reverse_links": q_j4_reverse_links,
+        "a6_duplications": q_a6_duplications,
+        "a7_missing_elements": q_a7_missing_elements,
+        "f10_filter_chain": q_f10_filter_chain,
+        "f12_error_classes": q_f12_error_classes,
+        "a10_redirect_maxcode": q_a10_redirect_maxcode,
+        "tpch_revenue_by_nation": q_tpch_revenue_by_nation,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "dedup_exact_prefix": q_dedup_exact_prefix,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NORM_TEXT_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "crawl_status_histogram": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            edges AS (
+              SELECT a.doc_id AS s, b.doc_id AS t
+              FROM d a JOIN d b
+                ON a.source = b.source
+               AND b.rn BETWEEN a.rn + 1 AND a.rn + 3
+              WHERE a.doc_id % 7 < 4
+            ),
+            seeds AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY source),
+            reach AS (
+              SELECT doc_id FROM seeds
+              UNION
+              SELECT e.t FROM reach r JOIN edges e ON e.s = r.doc_id
+            )
+            SELECT 200 AS code, count(*) AS cnt FROM reach
+        """,
+        "a1_event_histogram": """
+            SELECT event_type, count(*) AS cnt FROM events
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "a2_latency_buckets": """
+            WITH ev AS (
+              SELECT event_type, CAST(value * 50000 AS BIGINT) AS duration_us FROM events
+            ), b AS (
+              SELECT event_type,
+                CASE
+                  WHEN duration_us/1000.0 > 0     AND duration_us/1000.0 < 50     THEN 'awesome'
+                  WHEN duration_us/1000.0 > 50    AND duration_us/1000.0 < 100    THEN 'great'
+                  WHEN duration_us/1000.0 > 100   AND duration_us/1000.0 < 200    THEN 'ok, google loves you'
+                  WHEN duration_us/1000.0 > 200   AND duration_us/1000.0 < 300    THEN 'not too good, but still ok'
+                  WHEN duration_us/1000.0 > 300   AND duration_us/1000.0 < 500    THEN 'not great'
+                  WHEN duration_us/1000.0 > 500   AND duration_us/1000.0 < 1000   THEN 'bad, users start to feel a real difference'
+                  WHEN duration_us/1000.0 > 1000  AND duration_us/1000.0 < 3000   THEN 'really bad, you are loosing users'
+                  WHEN duration_us/1000.0 > 3000  AND duration_us/1000.0 < 5000   THEN 'ouch this seems broken'
+                  WHEN duration_us/1000.0 > 5000  AND duration_us/1000.0 < 10000  THEN 'catastrophic you site seems to be down'
+                  WHEN duration_us/1000.0 > 10000 AND duration_us/1000.0 < 3600000 THEN 'end of the world - this must not happen'
+                END AS bucket
+              FROM ev
+            )
+            SELECT event_type, bucket, count(*) AS cnt,
+                   round(count(*) * 100.0 / sum(count(*)) OVER (PARTITION BY event_type)) AS pct
+            FROM b WHERE bucket IS NOT NULL
+            GROUP BY event_type, bucket ORDER BY event_type, bucket
+        """,
+        "a3_group_counts": """
+            SELECT o_orderpriority, count(*) AS cnt FROM orders
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "a4_minmax": """
+            SELECT round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+            FROM events
+        """,
+        "a12_quantiles": """
+            SELECT round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+                   round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+                   round(quantile_cont(l_quantity, 0.99), 4) AS p99
+            FROM lineitem
+        """,
+        "w1_highscore": """
+            SELECT event_id, round(value, 2) AS value,
+                   row_number() OVER (ORDER BY value ASC, event_id ASC) AS rank
+            FROM events
+            QUALIFY rank <= 100
+        """,
+        "w3_pagination": """
+            SELECT c_custkey, c_name,
+                   row_number() OVER (ORDER BY c_name ASC, c_custkey ASC) AS rn
+            FROM customer
+            QUALIFY rn > 150 AND rn <= 200
+        """,
+        "w4_top20_truncation": """
+            SELECT l_partkey,
+                   array_to_string(list_sort(list(l_orderkey))[1:20], ',') AS first_orders,
+                   count(*) AS n_orders
+            FROM lineitem WHERE l_partkey <= 200
+            GROUP BY l_partkey ORDER BY l_partkey
+        """,
+        "j3_broken_links": """
+            SELECT o_orderkey,
+                   coalesce(array_to_string(list_sort(list(l_suppkey) FILTER (l_suppkey IS NOT NULL))[1:20], ','), '') AS sources,
+                   count(l_suppkey) AS n_sources
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY o_orderkey ORDER BY o_orderkey
+        """,
+        "j4_reverse_links": """
+            SELECT l_suppkey,
+                   array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS parts,
+                   count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem WHERE l_suppkey <= 50
+            GROUP BY l_suppkey ORDER BY l_suppkey
+        """,
+        "a6_duplications": """
+            SELECT n_regionkey,
+                   array_to_string(list_sort(list(DISTINCT n_name)), ',') AS members,
+                   count(*) AS n_members
+            FROM nation GROUP BY n_regionkey
+            HAVING count(*) > 1 ORDER BY n_regionkey
+        """,
+        "a7_missing_elements": """
+            SELECT doc_id FROM documents WHERE n_chars < 60 ORDER BY doc_id
+        """,
+        "f10_filter_chain": """
+            SELECT event_id, event_type, round(value, 2) AS value FROM events
+            WHERE event_type IN ('click', 'view')
+              AND value > 50 AND value < 150
+              AND props LIKE '{"k": 1%'
+            ORDER BY event_id
+        """,
+        "f12_error_classes": """
+            SELECT CASE
+                     WHEN o_totalprice < 50000 THEN 'low'
+                     WHEN o_totalprice < 150000 THEN 'mid'
+                     WHEN o_totalprice < 300000 THEN 'high'
+                     ELSE 'extreme'
+                   END AS price_class,
+                   count(*) AS cnt
+            FROM orders GROUP BY price_class ORDER BY price_class
+        """,
+        "a10_redirect_maxcode": """
+            WITH mx AS (SELECT user_id, max(value) AS mx FROM events GROUP BY user_id)
+            SELECT CAST(floor(mx / 50) AS BIGINT) AS max_bucket, count(*) AS cnt
+            FROM mx GROUP BY max_bucket ORDER BY max_bucket
+        """,
+        "tpch_revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact_prefix": """
+            WITH sig AS (
+              SELECT md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS sig,
+                     doc_id
+              FROM documents
+            )
+            SELECT sig, count(*) AS n_dups, min(doc_id) AS keep_id,
+                   array_to_string(list_sort(list(doc_id)), ',') AS members
+            FROM sig GROUP BY sig HAVING count(*) > 1 ORDER BY sig
+        """,
+        "dedup_jaccard_pairs": f"""
+            WITH norm AS (
+              SELECT doc_id, {_NORM_TEXT_SQL} AS t FROM documents WHERE doc_id < 200
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(t, ' ')) AS tok,
+                     generate_subscripts(string_split(t, ' '), 1) AS pos
+              FROM norm
+            ),
+            sh AS (
+              SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+              FROM toks a
+              JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.35
+            ORDER BY id_a, id_b
+        """,
+        "text_token_counts": """
+            WITH t AS (
+              SELECT lang,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+                   round(avg(n_tokens), 4) AS avg_tokens
+            FROM t GROUP BY lang ORDER BY lang
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                         / length(text), 4) AS punct_ratio,
+                   round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                         / length(text), 4) AS digit_ratio
+            FROM documents WHERE doc_id < 100 ORDER BY doc_id
+        """,
+        "ann_cosine_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qv, e.v), 4) AS cos,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id ASC
+                     ) AS rank
+              FROM q CROSS JOIN e
+              WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, cos, rank FROM scored
+            WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # no oracle (non-SQL-expressible → driver rows-only check):
+        # dedup_minhash_lsh, dedup_simhash, text_langid, text_fingerprint,
+        # ann_lsh_topk
+    }
