@@ -163,9 +163,11 @@ def fetch_and_extract(
             for t in pdf.itertuples(index=False):
                 url = t.url
                 err = t.fetch_error or ""
-                redirects = [
-                    {"code": int(r["code"]), "url": r["url"]} for r in (t.redirects or [])
-                ]
+                # NB: Arrow hands array<struct> columns over as numpy
+                # arrays — `x or []` is ambiguous for len>1, hence the
+                # explicit None check.
+                chain = t.redirects if t.redirects is not None else []
+                redirects = [{"code": int(r["code"]), "url": r["url"]} for r in chain]
                 row = {
                     "url": url,
                     "host": t.host,
