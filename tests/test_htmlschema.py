@@ -191,7 +191,8 @@ def test_validate_udf_and_metrics(spark):
 
     scores, penalties = validation_metrics(out, ["/a", "/b"])
     sc = {(r["group"], r["path"]): r["score"] for r in scores.collect()}
-    assert sc == {("default", "/a"): 120, ("default", "/b"): 10}
+    # p1 (110) under /a; p3 has no report (filtered); p2 (10) under /b
+    assert sc == {("default", "/a"): 110, ("default", "/b"): 10}
     pen = {
         (r["group"], r["path"], r["validation_type"]): r["penalty"]
         for r in penalties.collect()
