@@ -46,6 +46,11 @@ from ..urlnorm import normalize_link, url_host, url_path
 
 __all__ = ["Crawler", "RESULT_SCHEMA", "resolve_redirects", "fetch_and_extract", "link_candidates"]
 
+VALIDATION_REPORT_TYPE = (
+    "struct<score:int,validations:array<struct<type:string,path:string,"
+    "comment:string,penalty:int>>>"
+)
+
 RESULT_SCHEMA = (
     "url string, host string, depth int, round int, batch_pos long, "
     "code int, status string, content_type string, group string, error string, "
@@ -53,12 +58,18 @@ RESULT_SCHEMA = (
     "redirects array<struct<code:int,url:string>>, "
     "links map<string,int>, normalized_links map<string,int>, "
     "link_norms array<string>, link_next_norm string, link_prev_norm string, "
-    f"structure {STRUCTURE_SPARK_TYPE}, text string"
+    f"structure {STRUCTURE_SPARK_TYPE}, text string, "
+    "data string, "
+    "validations array<struct<level:string,message:string,group:string>>, "
+    f"validation_report {VALIDATION_REPORT_TYPE}, "
+    "custom_links map<string,int>"
 )
 
 FRONTIER_COLS = ["url", "host", "depth", "link_count"]
 
 RESULT_COLUMNS = [f.strip().split(" ")[0] for f in RESULT_SCHEMA.split(", ")]
+
+BLOOM_AUTO_THRESHOLD = 500_000  # seen rows before 'auto' builds the shards
 
 
 def resolve_redirects(redirects: DataFrame, cap: int = REDIRECT_CAP) -> DataFrame:
@@ -116,12 +127,31 @@ def fetch_and_extract(
     group_header_enabled: bool,
     multi_host: bool,
     base_url: str,
+    host_prune: list[str] | str | None = None,
+    scrape_func=None,
+    validation_func=None,
+    group_validator=None,
+    link_list_filter=None,
 ) -> DataFrame:
     """J1 + H1/H2: the fetch join and the vectorized extract stage.
 
     Column pruning matters at 100 TB: only ``url`` and ``html`` of
     ``pages`` are read (the parquet scan never touches ``text``/``lang``
     here), and the html binary exists only inside this stage.
+
+    ``host_prune``: manual dynamic-partition-pruning — when the round's
+    batch touches few hosts, an ``isin`` filter on the pages scan lets
+    parquet prune row groups / host_hash partitions instead of scanning
+    the whole table into the join. (At web scale a round can touch
+    millions of hosts — the caller only passes this when the host list
+    is small.)
+
+    ``scrape_func``/``validation_func``: walker's user extension hooks
+    (reference ``walker.go:45,47``; called ``scrape.go:132-149``) —
+    ``scrape_func(html_str) -> json-serializable`` fills the ``data``
+    column; ``validation_func(structure_dict, data) -> list[dict]``
+    (level/message/group) fills ``validations``. Both run inside the
+    same Arrow batch loop (no extra pass over the page).
     """
     b = batch
     if "batch_pos" not in b.columns:
@@ -149,13 +179,42 @@ def fetch_and_extract(
             F.array().cast("array<struct<code:int,url:string>>").alias("redirects"),
             F.lit("").alias("fetch_error"),
         )
-    p = pages.select(F.col("url").alias("page_url"), F.col("html"))
-    joined = j.join(p, j["final_url"] == p["page_url"], "left")
+    p = pages
+    if host_prune is not None and "host" in pages.columns:
+        if host_prune == "auto":
+            # hosts come from the post-redirect final URLs (a redirect
+            # may leave the batch's host set); the batch is tiny next to
+            # pages, so this probe job is cheap. Bail out when the round
+            # touches too many hosts for an isin filter.
+            probe = (
+                j.select(authority_of(F.col("final_url")).alias("h"))
+                .distinct()
+                .limit(10_001)
+                .collect()
+            )
+            host_prune = [r["h"] for r in probe]
+        if isinstance(host_prune, list) and len(host_prune) <= 10_000:
+            p = p.filter(F.col("host").isin(host_prune))
+    p = p.select(F.col("url").alias("page_url"), F.col("html"))
+    # Join strategy: the batch is always small next to `pages`, but a
+    # plain `j LEFT JOIN p` cannot broadcast (only the preserved side is
+    # small), so it would sort-merge-shuffle the whole pages table every
+    # round. Shrink pages first with a broadcast LEFT SEMI (pages
+    # streams once, batch keys are the build side — no pages shuffle);
+    # the left join then runs on the shrunken slice, which AQE converts
+    # to a broadcast join at runtime.
+    p_small = p.join(
+        F.broadcast(j.select(F.col("final_url").alias("page_url")).distinct()),
+        "page_url",
+        "left_semi",
+    )
+    joined = j.join(p_small, j["final_url"] == p_small["page_url"], "left")
 
     rn = round_no
     ghe = group_header_enabled
     mh = multi_host
     burl = base_url
+    sfn, vfn, gv, llf = scrape_func, validation_func, group_validator, link_list_filter
 
     def extract_fn(batches):
         for pdf in batches:
@@ -189,6 +248,10 @@ def fetch_and_extract(
                     "link_prev_norm": "",
                     "structure": None,
                     "text": "",
+                    "data": None,
+                    "validations": None,
+                    "validation_report": None,
+                    "custom_links": None,
                 }
                 if err:
                     rows.append(row)
@@ -204,6 +267,21 @@ def fetch_and_extract(
                 row["content_type"] = "text/html; charset=utf-8"
                 row["group"] = _derive_group(url_path(t.final_url), ghe)
                 html = bytes(t.html).decode("utf-8", errors="replace")
+                if gv is not None:  # scrape.go:102-106
+                    rep = gv.validate(row["group"], html)
+                    if rep is not None:
+                        row["validation_report"] = {
+                            "score": rep.score,
+                            "validations": [
+                                {
+                                    "type": v.type,
+                                    "path": v.path,
+                                    "comment": v.comment,
+                                    "penalty": v.penalty,
+                                }
+                                for v in rep.validations
+                            ],
+                        }
                 links, structure, text = extract_all(html)
                 base = (
                     f"{url.split('://', 1)[0]}://{url_host(url)}" if mh else burl
@@ -222,6 +300,31 @@ def fetch_and_extract(
                 row["link_prev_norm"] = normalize_link(base, structure["link_prev"]) or ""
                 row["structure"] = structure
                 row["text"] = text
+                if sfn is not None:  # ScrapeFunc, scrape.go:132-140
+                    try:
+                        row["data"] = json.dumps(sfn(html), sort_keys=True)
+                    except Exception as e:
+                        row["error"] = str(e)
+                if vfn is not None and not row["error"]:  # scrape.go:142-149
+                    try:
+                        row["validations"] = [
+                            {
+                                "level": v.get("level", "info"),
+                                "message": v.get("message", ""),
+                                "group": v.get("group", ""),
+                            }
+                            for v in (vfn(structure, row["data"]) or [])
+                        ]
+                    except Exception as e:
+                        row["error"] = str(e)
+                if llf is not None:  # LinkListFilterFunc replaces F1-F9
+                    try:
+                        row["custom_links"] = {
+                            str(k): int(v)
+                            for k, v in (llf(base, url, links, structure) or {}).items()
+                        }
+                    except Exception:
+                        row["custom_links"] = {}
                 rows.append(row)
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {c: [] for c in RESULT_COLUMNS}
@@ -235,11 +338,27 @@ def link_candidates(
     conf: CrawlConfig,
     robots_bodies: dict[str, str] | None,
     spark: SparkSession,
+    use_custom_links: bool = False,
 ) -> DataFrame:
     """Explode the round's surviving links into the aggregated candidate
     frame (url, host, depth, link_count): depth = min discoverer depth +
     1, link_count = number of surviving raw hrefs normalizing to the url
-    across all discovering pages (the dispatcher-spec merge)."""
+    across all discovering pages (the dispatcher-spec merge).
+
+    With ``use_custom_links`` the page's LinkListFilterFunc output
+    (``custom_links``) replaces the native F1-F9 stack entirely,
+    mirroring ``scrapeloop.go:336-345``.
+    """
+    if use_custom_links:
+        exploded = results_new.select(
+            F.col("depth"), F.explode(F.col("custom_links")).alias("link", "cnt")
+        )
+        return (
+            exploded.groupBy(F.col("link").alias("url"))
+            .agg((F.min("depth") + 1).alias("depth"), F.sum("cnt").alias("link_count"))
+            .withColumn("host", authority_of(F.col("url")))
+            .select(*FRONTIER_COLS)
+        )
     cands = results_new.select(
         F.col("url").alias("src_url"),
         F.col("host").alias("src_host"),
@@ -289,8 +408,22 @@ class Crawler:
         multi_host: bool = False,
         seeds: list[str] | None = None,
         record_order: bool = False,
-        use_bloom: bool = True,
+        use_bloom: bool | str = "auto",
+        scrape_func=None,
+        validation_func=None,
+        result_modifier=None,
+        link_list_filter=None,
+        group_validator=None,
+        host_prune: str | None = "auto",
     ):
+        """Hooks mirror walker's extension points (SURVEY.md §2.10):
+        ``scrape_func(html) -> json-able`` (ScrapeFunc),
+        ``validation_func(structure, data) -> [{level,message,group}]``
+        (ValidationFunc), ``result_modifier(DataFrame) -> DataFrame``
+        (ScrapeResultModifierFunc, batch-level), ``link_list_filter(
+        base, url, links, structure) -> {href: cnt}`` (LinkListFilterFunc
+        — replaces the F1-F9 stack), ``group_validator`` a
+        functions.htmlschema.GroupValidator (SchemaRoot)."""
         self.spark = spark
         self.conf = conf
         self.pages = pages
@@ -301,6 +434,12 @@ class Crawler:
         self.seeds = seeds if seeds is not None else conf.seed_urls()
         self.record_order = record_order
         self.use_bloom = use_bloom
+        self.scrape_func = scrape_func
+        self.validation_func = validation_func
+        self.result_modifier = result_modifier
+        self.link_list_filter = link_list_filter
+        self.group_validator = group_validator
+        self.host_prune = host_prune
         self.metrics: list[RoundMetrics] = []
 
     # ---- fail-start (scrapeloop.go:281-289) ----
@@ -363,20 +502,26 @@ class Crawler:
             start_round = manifest["round"] + 1
             frontier = io.read(f"rounds/r={manifest['round']:05d}/frontier")
             seen_names = [f"seen/r={k:05d}" for k in range(-1, manifest["round"] + 1) if io.exists(f"seen/r={k:05d}")]
-            seen = io.read_many(seen_names)
+            seen = io.read_many(seen_names).select("url")
         else:
             start_round = 0
             self.seeds = seeds_ok
             frontier_df = self._seed_frontier()
             io.write(frontier_df, "rounds/r=-0001/frontier")
             frontier = io.read("rounds/r=-0001/frontier")
-            io.write(frontier.select("url"), "seen/r=-0001")
-            seen = io.read("seen/r=-0001")
+            io.write(frontier, "seen/r=-0001")  # FRONTIER_COLS schema, like round deltas
+            seen = io.read("seen/r=-0001").select("url")
             seen_names = ["seen/r=-0001"]
 
+        # Bloom prefilter policy: the shards only pay for themselves once
+        # the seen table dwarfs the per-round candidate set — 'auto'
+        # activates them past a size threshold (one catch-up build over
+        # the full seen table, then incremental deltas); True forces them
+        # from round 0 (tests / the 10^10 design point); False disables.
         bloom = None
-        if self.use_bloom:
-            bloom = BloomShards.sized_for(max(1_000_000, 4 * 10**6))
+        seen_count = frontier.count() if not resume else seen.count()
+        if self.use_bloom is True:
+            bloom = BloomShards.sized_for(max(4 * 10**6, 4 * seen_count))
             bloom.add_urls_distributed(seen.select("url"))
 
         r = start_round
@@ -390,8 +535,15 @@ class Crawler:
             batch = select_fetch_batch(
                 frontier, conf.host_budget, conf.hot_host_salts, self.record_order
             )
-            io.write(batch, f"{rd}/batch")
-            batch = io.read(f"{rd}/batch")
+            if self.record_order:
+                # durable batch files double as the crawl-order record
+                io.write(batch, f"{rd}/batch")
+                batch = io.read(f"{rd}/batch")
+            else:
+                # memory-persist: the batch feeds both the fetch join and
+                # the leftover anti-join; a parquet round-trip per round
+                # is pure overhead (resume is round-granular anyway).
+                batch = batch.persist()
             m.seconds["select"] = round(time.time() - t0, 3)
 
             t0 = time.time()
@@ -403,7 +555,14 @@ class Crawler:
                 conf.group_header != "",
                 self.multi_host,
                 conf.target.base_url,
+                host_prune=self.host_prune,
+                scrape_func=self.scrape_func,
+                validation_func=self.validation_func,
+                group_validator=self.group_validator,
+                link_list_filter=self.link_list_filter,
             )
+            if self.result_modifier is not None:
+                results = self.result_modifier(results)
             io.write(results, f"{rd}/results")
             results = io.read(f"{rd}/results")
             m.fetched = results.count()
@@ -411,23 +570,40 @@ class Crawler:
             m.seconds["fetch_extract"] = round(time.time() - t0, 3)
 
             t0 = time.time()
-            cand = link_candidates(results, conf, self.robots_bodies, self.spark)
-            new = seen_anti_join(cand, seen, bloom).select(*FRONTIER_COLS)
-            leftover = frontier.join(batch.select("url"), "url", "left_anti").select(
-                *FRONTIER_COLS
+            cand = link_candidates(
+                results,
+                conf,
+                self.robots_bodies,
+                self.spark,
+                use_custom_links=self.link_list_filter is not None,
             )
-            io.write(leftover.unionByName(new), f"{rd}/frontier")
-            next_frontier = io.read(f"{rd}/frontier")
-            io.write(next_frontier.join(seen, "url", "left_anti").select("url"), f"seen/r={r:05d}")
+            # new = genuinely-new candidates; written once and reused as
+            # BOTH the seen delta and the frontier addition (no second
+            # anti-join against the growing seen table).
+            new = seen_anti_join(cand, seen, bloom).select(*FRONTIER_COLS)
+            io.write(new, f"seen/r={r:05d}")
             new_seen = io.read(f"seen/r={r:05d}")
             m.new_links = new_seen.count()
+            # leftover = frontier ∖ batch; batch keys are small →
+            # broadcast anti-join, the frontier never shuffles here.
+            leftover = frontier.join(
+                F.broadcast(batch.select("url")), "url", "left_anti"
+            ).select(*FRONTIER_COLS)
+            io.write(leftover.unionByName(new_seen.select(*FRONTIER_COLS)), f"{rd}/frontier")
+            next_frontier = io.read(f"{rd}/frontier")
             seen_names.append(f"seen/r={r:05d}")
-            seen = io.read_many(seen_names)
+            seen = io.read_many(seen_names).select("url")
+            seen_count += m.new_links
             if bloom is not None and m.new_links > 0:
                 bloom.add_urls_distributed(new_seen)
+            elif self.use_bloom == "auto" and seen_count >= BLOOM_AUTO_THRESHOLD:
+                bloom = BloomShards.sized_for(max(4 * 10**6, 4 * seen_count))
+                bloom.add_urls_distributed(seen)
             m.seconds["frontier"] = round(time.time() - t0, 3)
 
             atomic_write_json(self._manifest_path(), {"round": r, "frontier_rows": 0})
+            if not self.record_order:
+                batch.unpersist()
             frontier = next_frontier
             frontier_n = frontier.count()
             self._append_metrics(m)
