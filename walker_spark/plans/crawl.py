@@ -469,7 +469,7 @@ class Crawler:
             seen_urls.add(s)
             rows.append((s, url_host(s), 0, 0))
         return self.spark.createDataFrame(
-            rows, "url string, host string, depth int, link_count int"
+            rows, "url string, host string, depth int, link_count long"
         )
 
     def _append_metrics(self, m: RoundMetrics) -> None:
