@@ -252,6 +252,29 @@ def reverse_links(results: DataFrame) -> DataFrame:
 
 # ---- SEO (A6/A7, F13) ----
 
+def progress_gauges(frontier: DataFrame, results: DataFrame) -> dict:
+    """A13 (``scrapeloop.go:204-205``, ``service.go:169-186``): open =
+    frontier entries awaiting fetch, done = results count. (The BSP
+    engine has no 'pending' mid-flight state — a batch is fetched
+    atomically within its round.)"""
+    return {"open": frontier.count(), "done": results.count(), "pending": 0}
+
+
+def render_summary(results: DataFrame) -> str:
+    """S8 text sink: walker's /summary report rendered as text
+    (``reports/reports.go:252-330``) — status-code lines then per-group
+    latency buckets with percentages."""
+    lines = ["summary", "-" * 45, "", "status codes", "-" * 45]
+    for r in status_histogram(results).collect():
+        lines.append(f"{r['code']} {r['cnt']}")
+    lines += ["", "performance buckets", "-" * 45]
+    for r in latency_buckets(results).collect():
+        lines.append(
+            f"group: {r['group']}  {r['cnt']}\t{int(r['pct'])} %\t{r['bucket']}"
+        )
+    return "\n".join(lines)
+
+
 def duplications(results: DataFrame, value_col: F.Column, name: str) -> DataFrame:
     """A6 (``reports/reports.go:172-205``): values shared by >1 URL."""
     return (

@@ -208,7 +208,14 @@ def fetch_and_extract(
         "page_url",
         "left_semi",
     )
-    joined = j.join(p_small, j["final_url"] == p_small["page_url"], "left")
+    # SHUFFLE_HASH, not broadcast: in a fat round p_small ≈ the whole
+    # pages slice (100s of MB of html) — funneling it through a driver
+    # broadcast serializes the round. A shuffle-hash join keys both
+    # sides by url, giving the extract stage shuffle-wide parallelism;
+    # no sort (html rows never sort-merge), AQE still splits skew.
+    joined = j.join(
+        p_small.hint("SHUFFLE_HASH"), j["final_url"] == p_small["page_url"], "left"
+    )
 
     rn = round_no
     ghe = group_header_enabled
@@ -445,7 +452,7 @@ class Crawler:
     # ---- fail-start (scrapeloop.go:281-289) ----
     def check_seeds(self) -> list[str]:
         forbidden = []
-        if self.conf.ignore_robots:
+        if self.conf.ignore_robots or isinstance(self.seeds, DataFrame):
             return forbidden
         for s in self.seeds:
             host = url_host(s)
@@ -461,6 +468,21 @@ class Crawler:
         return self.io.path("manifest.json")
 
     def _seed_frontier(self) -> DataFrame:
+        if isinstance(self.seeds, DataFrame):
+            # DataFrame seed source (e.g. a whole url table): stays
+            # distributed, never collected to the driver.
+            from ..operators.linkfilter import authority_of
+
+            return (
+                self.seeds.select("url")
+                .dropDuplicates(["url"])
+                .select(
+                    "url",
+                    authority_of(F.col("url")).alias("host"),
+                    F.lit(0).alias("depth"),
+                    F.lit(0).cast("long").alias("link_count"),
+                )
+            )
         rows = []
         seen_urls = set()
         for s in self.seeds:
@@ -489,7 +511,10 @@ class Crawler:
                 "(you can either ignore robots or try as a different user agent): "
                 + ", ".join(url_path(u) for u in forbidden)
             )
-        seeds_ok = [s for s in self.seeds if s not in set(forbidden)]
+        if isinstance(self.seeds, DataFrame):
+            seeds_ok = self.seeds
+        else:
+            seeds_ok = [s for s in self.seeds if s not in set(forbidden)]
 
         redirect_map = None
         if self.redirect_edges is not None:
