@@ -92,7 +92,14 @@ def resolve_redirects(redirects: DataFrame, cap: int = REDIRECT_CAP) -> DataFram
         F.col("dst").alias("e_dst"),
         F.col("code").cast("int").alias("e_code"),
     )
-    for _ in range(cap - 1):
+    hops = 1
+    while hops < cap:
+        # early exit: stop extending once no chain head has an outgoing
+        # edge (real chains are short; 10 blind joins would cost ~10
+        # driver-serial job launches)
+        if m.join(edges, m["cur"] == edges["e_src"], "left_semi").isEmpty():
+            break
+        hops += 1
         m = m.join(edges, m["cur"] == edges["e_src"], "left").select(
             "src",
             F.coalesce(F.col("e_dst"), F.col("cur")).alias("cur"),
@@ -544,13 +551,13 @@ class Crawler:
         # the full seen table, then incremental deltas); True forces them
         # from round 0 (tests / the 10^10 design point); False disables.
         bloom = None
-        seen_count = frontier.count() if not resume else seen.count()
+        frontier_n = frontier.count()
+        seen_count = frontier_n if not resume else seen.count()
         if self.use_bloom is True:
             bloom = BloomShards.sized_for(max(4 * 10**6, 4 * seen_count))
             bloom.add_urls_distributed(seen.select("url"))
 
         r = start_round
-        frontier_n = frontier.count()
         total_fetched = 0
         while frontier_n > 0 and (conf.max_rounds <= 0 or r < conf.max_rounds):
             m = RoundMetrics(round=r, frontier=frontier_n)
