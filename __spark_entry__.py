@@ -59,7 +59,9 @@ def _docs_pages(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[str]]
     ).otherwise(F.lit(""))
     pages = d.select(
         F.format_string("https://%s.example/d/%d.html", F.col("source"), F.col("doc_id")).alias("url"),
-        F.concat(F.lit("src-"), F.col("source")).alias("host"),
+        # host must equal the URL authority — the fetch stage's dynamic
+        # host pruning filters the pages scan on it
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
         F.concat(
             F.format_string(
                 "<html><head><title>Doc %d</title></head><body><h1>Doc %d</h1><p>",
