@@ -38,7 +38,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "12000"))
 N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "24"))
-KERNEL_PAGES = int(os.environ.get("SPARK_GRAFT_KERNEL_PAGES", "400000"))
+KERNEL_PAGES = int(os.environ.get("SPARK_GRAFT_KERNEL_PAGES", "240000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 # python-UDF stages need headroom for Arrow buffers at 32 concurrent tasks
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")

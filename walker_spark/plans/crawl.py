@@ -567,15 +567,18 @@ class Crawler:
             batch = select_fetch_batch(
                 frontier, conf.host_budget, conf.hot_host_salts, self.record_order
             )
+            persisted_batch = False
             if self.record_order:
                 # durable batch files double as the crawl-order record
                 io.write(batch, f"{rd}/batch")
                 batch = io.read(f"{rd}/batch")
-            else:
+            elif conf.host_budget > 0:
                 # memory-persist: the batch feeds both the fetch join and
                 # the leftover anti-join; a parquet round-trip per round
                 # is pure overhead (resume is round-granular anyway).
                 batch = batch.persist()
+                persisted_batch = True
+            # budget ≤ 0: batch IS the checkpointed frontier — no persist
             m.seconds["select"] = round(time.time() - t0, 3)
 
             t0 = time.time()
@@ -597,7 +600,25 @@ class Crawler:
                 results = self.result_modifier(results)
             io.write(results, f"{rd}/results")
             results = io.read(f"{rd}/results")
-            m.fetched = results.count()
+            # per-partition lineage (north rule): which host_hash
+            # partitions contributed how many results this round — the
+            # audit trail that lets a resumed/replayed job prove it
+            # covered the same partitions. Its row sums double as the
+            # fetched count (no separate count scan of results).
+            io.write(
+                results.groupBy(
+                    F.pmod(F.xxhash64("host"), F.lit(conf.partitions)).alias("host_hash"),
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.countDistinct("host").alias("hosts"),
+                    F.sum(F.when(F.col("code") == 200, 1).otherwise(0)).alias("ok_rows"),
+                ),
+                f"{rd}/lineage",
+            )
+            m.fetched = (
+                io.read(f"{rd}/lineage").agg(F.sum("rows")).collect()[0][0] or 0
+            )
             total_fetched += m.fetched
             m.seconds["fetch_extract"] = round(time.time() - t0, 3)
 
@@ -634,7 +655,7 @@ class Crawler:
             m.seconds["frontier"] = round(time.time() - t0, 3)
 
             atomic_write_json(self._manifest_path(), {"round": r, "frontier_rows": 0})
-            if not self.record_order:
+            if persisted_batch:
                 batch.unpersist()
             frontier = next_frontier
             frontier_n = frontier.count()
