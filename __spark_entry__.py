@@ -53,10 +53,19 @@ def _docs_pages(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[str]]
     link = lambda c: F.when(  # noqa: E731
         c.isNotNull(), F.format_string('<a href="/d/%d.html">n</a>', c)
     ).otherwise(F.lit(""))
-    links_html = F.when(
-        F.col("doc_id") % 7 < 4,
-        F.concat(link(F.col("n1")), link(F.col("n2")), link(F.col("n3"))),
+    # every 11th doc also links to a nonexistent /dead/ page, so the
+    # crawl produces 404s and the broken-links back-join has work
+    dead = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.format_string('<a href="/dead/%d.html">x</a>', F.col("doc_id")),
     ).otherwise(F.lit(""))
+    links_html = F.concat(
+        F.when(
+            F.col("doc_id") % 7 < 4,
+            F.concat(link(F.col("n1")), link(F.col("n2")), link(F.col("n3"))),
+        ).otherwise(F.lit("")),
+        dead,
+    )
     pages = d.select(
         F.format_string("https://%s.example/d/%d.html", F.col("source"), F.col("doc_id")).alias("url"),
         # host must equal the URL authority — the fetch stage's dynamic
@@ -81,7 +90,19 @@ def _docs_pages(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[str]]
     return pages, sorted(seeds)
 
 
+_CRAWL_CACHE: dict = {}
+
+
 def _run_doc_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key in _CRAWL_CACHE:
+        return _CRAWL_CACHE[key]
+    df = _run_doc_crawl_uncached(spark, sf_dir)
+    _CRAWL_CACHE[key] = df
+    return df
+
+
+def _run_doc_crawl_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from walker_spark.config import CrawlConfig, Target
     from walker_spark.plans.crawl import Crawler
 
@@ -125,6 +146,41 @@ def q_crawl_status_histogram(spark, sf):
     return status_histogram(_run_doc_crawl(spark, sf)).select(
         "code", F.col("cnt").cast("long").alias("cnt")
     )
+
+
+def q_crawl_broken_links(spark, sf):
+    """J3 over the crawl's own results: 404 targets back-joined to the
+    pages linking to them (oracle: recursive reachability + chain-end
+    dead links in SQL)."""
+    from walker_spark.operators.reports import links_edges
+
+    res = _run_doc_crawl(spark, sf)
+    edges = links_edges(res)
+    broken = res.filter(F.col("code") == 404).select(F.col("url").alias("dst_url"))
+    return (
+        broken.join(edges, "dst_url", "left")
+        .groupBy("dst_url")
+        .agg(
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_list("src_url")), 1, 20)
+            ).alias("sources"),
+            F.count("src_url").alias("n_sources"),
+        )
+        .orderBy("dst_url")
+    )
+
+
+def q_crawl_reverse_links(spark, sf):
+    """J4 over the crawl's results: where is each URL linked from."""
+    from walker_spark.operators.reports import reverse_links
+
+    res = _run_doc_crawl(spark, sf)
+    rl = reverse_links(res)
+    return rl.select(
+        "url",
+        F.concat_ws(",", F.col("linked_from")).alias("linked_from"),
+        F.size("linked_from").cast("long").alias("n_links"),
+    ).orderBy("url")
 
 
 def q_a1_event_histogram(spark, sf):
@@ -472,6 +528,8 @@ def q_ann_lsh_topk(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_status_histogram": q_crawl_status_histogram,
+        "crawl_broken_links": q_crawl_broken_links,
+        "crawl_reverse_links": q_crawl_reverse_links,
         "a1_event_histogram": q_a1_event_histogram,
         "a2_latency_buckets": q_a2_latency_buckets,
         "a3_group_counts": q_a3_group_counts,
@@ -502,18 +560,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_NORM_TEXT_SQL = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), "
-    "'\\s+', ' ', 'g'))"
-)
-
-
-def oracle_sql() -> dict[str, str]:
-    return {
-        "crawl_status_histogram": """
+# shared recursive CTE modeling the documents-derived crawl graph:
+# edges = next-3 same-source docs (only when doc_id % 7 < 4); seeds =
+# min doc per source; ends = chain-end docs (they link to a /dead/ URL).
+_CRAWL_CTE = """
             WITH RECURSIVE d AS (
               SELECT doc_id, source,
-                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n_src
               FROM documents
             ),
             edges AS (
@@ -528,8 +582,61 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id FROM seeds
               UNION
               SELECT e.t FROM reach r JOIN edges e ON e.s = r.doc_id
-            )
+            ),
+            ends AS (SELECT doc_id FROM d WHERE doc_id % 11 = 0)
+"""
+
+_NORM_TEXT_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "crawl_status_histogram": f"""
+            {_CRAWL_CTE}
             SELECT 200 AS code, count(*) AS cnt FROM reach
+            UNION ALL
+            SELECT 404 AS code, count(*) AS cnt
+            FROM reach JOIN ends USING (doc_id)
+            HAVING count(*) > 0
+            ORDER BY code
+        """,
+        "crawl_broken_links": f"""
+            {_CRAWL_CTE}
+            SELECT printf('https://%s.example/dead/%d.html', d.source, d.doc_id) AS dst_url,
+                   printf('https://%s.example/d/%d.html', d.source, d.doc_id) AS sources,
+                   CAST(1 AS BIGINT) AS n_sources
+            FROM reach JOIN ends USING (doc_id) JOIN d USING (doc_id)
+            ORDER BY dst_url
+        """,
+        "crawl_reverse_links": f"""
+            {_CRAWL_CTE},
+            ra AS (SELECT d.* FROM d JOIN reach USING (doc_id)),
+            redges AS (
+              SELECT printf('https://%s.example/d/%d.html', a.source, a.doc_id) AS src,
+                     printf('https://%s.example/d/%d.html', b.source, b.doc_id) AS dst
+              FROM ra a JOIN d b
+                ON a.source = b.source AND b.rn BETWEEN a.rn + 1 AND a.rn + 3
+              WHERE a.doc_id % 7 < 4
+              UNION ALL
+              SELECT printf('https://%s.example/d/%d.html', d.source, d.doc_id),
+                     printf('https://%s.example/dead/%d.html', d.source, d.doc_id)
+              FROM reach JOIN ends USING (doc_id) JOIN d USING (doc_id)
+            ),
+            allurls AS (
+              SELECT printf('https://%s.example/d/%d.html', d.source, d.doc_id) AS url
+              FROM reach JOIN d USING (doc_id)
+              UNION ALL
+              SELECT printf('https://%s.example/dead/%d.html', d.source, d.doc_id)
+              FROM reach JOIN ends USING (doc_id) JOIN d USING (doc_id)
+            )
+            SELECT u.url,
+                   coalesce(array_to_string(list_sort(list(DISTINCT r.src) FILTER (r.src IS NOT NULL)), ','), '') AS linked_from,
+                   count(DISTINCT r.src) AS n_links
+            FROM allurls u LEFT JOIN redges r ON r.dst = u.url
+            GROUP BY u.url ORDER BY u.url
         """,
         "a1_event_histogram": """
             SELECT event_type, count(*) AS cnt FROM events
