@@ -525,6 +525,31 @@ def q_ann_lsh_topk(spark, sf):
     )
 
 
+def q_ann_ivf_topk(spark, sf):
+    from walker_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return (
+        ivf_cosine_topk(emb, q, k=10, n_cells=16, n_probe=6)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_embedding_near_dup(spark, sf):
+    from walker_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_near_dup_pairs(emb, threshold=0.4, exact=True).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_status_histogram": q_crawl_status_histogram,
@@ -557,6 +582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -842,7 +869,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos, rank FROM scored
             WHERE rank <= 10 ORDER BY query_id, rank
         """,
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+            ORDER BY id_a, id_b
+        """,
         # no oracle (non-SQL-expressible → driver rows-only check):
         # dedup_minhash_lsh, dedup_simhash, text_langid, text_fingerprint,
-        # ann_lsh_topk
+        # ann_lsh_topk, ann_ivf_topk
     }

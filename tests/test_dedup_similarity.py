@@ -114,6 +114,41 @@ def test_lsh_topk_recall(vectors):
     assert recall >= 0.8, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall(vectors):
+    from walker_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    q = vectors.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(vectors, q, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(vectors, q, k=3, n_cells=8, n_probe=4).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
+
+
+def test_embedding_near_dup_lsh_matches_exact(vectors):
+    from walker_spark.operators.similarity import embedding_near_dup_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(vectors, threshold=0.9, exact=True).collect()
+    }
+    assert exact  # clustered fixture has close pairs
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            vectors, threshold=0.9, bands=12, rows_per_band=4
+        ).collect()
+    }
+    # verification makes precision exact; banding recall ≥ high at cos≥0.9
+    assert lsh.issubset(exact)
+    assert len(lsh) / len(exact) >= 0.9
+
+
 def test_multimodal_plumbing(spark):
     from walker_spark.operators.multimodal import (
         attach_media_metadata,

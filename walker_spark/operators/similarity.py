@@ -20,7 +20,15 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk", "lsh_cosine_topk"]
+__all__ = [
+    "dot_expr",
+    "norm_expr",
+    "cosine_expr",
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "embedding_near_dup_pairs",
+]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -96,6 +104,141 @@ def _signature_expr(vec: Column, planes: list[list[float]], band: int, rows: int
             F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         )
     return sig
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 3,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means-lite centroids partition the
+    corpus into cells; each query scans only its ``n_probe`` nearest
+    cells with exact cosine re-rank.
+
+    Centroid training is a few Lloyd iterations done WITH DataFrame ops
+    (assign = broadcast centroid argmax, update = groupBy mean) over a
+    deterministic sample — no MLlib dependency, no driver-side data.
+    At scale this is the classic IVF-flat layout: the cell assignment
+    becomes the corpus partitioning key, so a probe touches n_probe/n_cells
+    of the data.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    dim = len(corpus.select(vec_col).first()[0])
+
+    # deterministic init: first n_cells distinct vectors by id
+    init = [r["c_vec"] for r in c.orderBy("neighbor_id").limit(n_cells).collect()]
+    centroids = [[float(x) for x in v] for v in init]
+
+    def assign_expr(vec: Column, cents: list[list[float]]) -> Column:
+        # argmax cosine over the broadcast centroid list. NB: chaining
+        # when(best_cos < cos_i) rebuilds the running best expression
+        # inside each branch — exponential expression-tree growth. An
+        # array of independent cosine exprs + array_position(array_max)
+        # stays linear in n_cells.
+        cos_arr = F.array(
+            *[cosine_expr(vec, F.array(*[F.lit(x) for x in cent])) for cent in cents]
+        )
+        return (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
+
+    for _ in range(kmeans_iters):
+        assigned = c.withColumn("cell", assign_expr(F.col("c_vec"), centroids))
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array(
+                    *[F.avg(F.col("c_vec")[i]) for i in range(dim)]
+                ).alias("mean_vec")
+            )
+            .collect()
+        )
+        by_cell = {r["cell"]: [float(x) for x in r["mean_vec"]] for r in means}
+        centroids = [by_cell.get(i, centroids[i]) for i in range(n_cells)]
+
+    cells = c.withColumn("cell", assign_expr(F.col("c_vec"), centroids))
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # per query: its n_probe nearest cells (small n_cells → rank natively)
+    probe_rows = []
+    for i, cent in enumerate(centroids):
+        probe_rows.append(
+            q.select(
+                "query_id",
+                "q_vec",
+                F.lit(i).alias("cell"),
+                cosine_expr(F.col("q_vec"), F.array(*[F.lit(x) for x in cent])).alias("ccos"),
+            )
+        )
+    probes = probe_rows[0]
+    for p in probe_rows[1:]:
+        probes = probes.unionByName(p)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        probes.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+
+    cand = probes.join(cells, "cell").withColumn(
+        "cos", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6)
+    )
+    if not include_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥
+    threshold). ``exact`` does the O(n²) cross join (small scopes / the
+    test oracle); default routes candidates through random-hyperplane
+    LSH bands first, then verifies with exact cosine."""
+    base = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
+    if exact:
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, bands * rows_per_band, seed)
+        sig = F.array(
+            *[_signature_expr(F.col("v"), planes, b, rows_per_band) for b in range(bands)]
+        )
+        banded = base.select("id", "v", F.posexplode(sig).alias("band", "bucket"))
+        a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    # filter on the raw cosine, round only for output (filtering on the
+    # rounded value would disagree with an oracle filtering raw values
+    # for pairs within 5e-5 of the threshold)
+    return (
+        pairs.withColumn("_cos_raw", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("_cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_cos_raw", 4).alias("cos"))
+    )
 
 
 def lsh_cosine_topk(
