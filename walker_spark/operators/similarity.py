@@ -132,9 +132,12 @@ def ivf_cosine_topk(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     dim = len(corpus.select(vec_col).first()[0])
 
-    # deterministic init: first n_cells distinct vectors by id
+    # deterministic init: first n_cells distinct vectors by id (clamped
+    # when the corpus is smaller than the requested cell count)
     init = [r["c_vec"] for r in c.orderBy("neighbor_id").limit(n_cells).collect()]
     centroids = [[float(x) for x in v] for v in init]
+    n_cells = len(centroids)
+    n_probe = min(n_probe, n_cells)
 
     def assign_expr(vec: Column, cents: list[list[float]]) -> Column:
         # argmax cosine over the broadcast centroid list. NB: chaining
