@@ -54,6 +54,11 @@ class CrawlConfig:
     partitions: int = 32
     hot_host_salts: int = 8
     hot_host_threshold: int = 100_000
+    # north-rule seen-keying: dedup the frontier on canonicalize(url)
+    # (lowercase host, default-port strip, sorted query params) instead
+    # of walker's raw normalized string; the lexicographically smallest
+    # spelling is fetched. False = exact walker parity.
+    canonical_seen: bool = False
 
     def seed_urls(self) -> list[str]:
         """Round-0 frontier, mirroring restart() seeding

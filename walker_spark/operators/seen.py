@@ -103,8 +103,9 @@ class BloomShards:
         return self
 
 
-def split_by_bloom(cands: DataFrame, bloom: BloomShards) -> DataFrame:
-    """Adds ``maybe_seen`` (bool) from the broadcast bloom shards."""
+def split_by_bloom(cands: DataFrame, bloom: BloomShards, key: str = "url") -> DataFrame:
+    """Adds ``maybe_seen`` (bool) from the broadcast bloom shards,
+    probing on the ``key`` column."""
     spark = cands.sparkSession
     bc = spark.sparkContext.broadcast((bloom.n_shards, bloom.bits, bloom.k, bloom.arrays))
 
@@ -115,20 +116,25 @@ def split_by_bloom(cands: DataFrame, bloom: BloomShards) -> DataFrame:
         probe.arrays = arrays
         return pd.Series([probe.contains(u) for u in urls])
 
-    return cands.withColumn("maybe_seen", maybe_seen(F.col("url")))
+    return cands.withColumn("maybe_seen", maybe_seen(F.col(key)))
 
 
-def seen_anti_join(cands: DataFrame, seen: DataFrame, bloom: BloomShards | None) -> DataFrame:
+def seen_anti_join(
+    cands: DataFrame, seen: DataFrame, bloom: BloomShards | None, key: str = "url"
+) -> DataFrame:
     """The correctness-critical J2: candidates that are genuinely new.
 
-    ``cands``: one row per distinct candidate url. ``seen``: the exact
-    seen table (column ``url``). With a bloom, only the maybe-seen slice
-    pays the shuffle; the bloom-negative slice unions in for free.
+    ``cands``: one row per distinct candidate, keyed by ``key`` (the raw
+    normalized url, or the canonical form in north-rule canonical mode).
+    ``seen``: the exact seen table (column ``url`` holding the same key
+    kind). With a bloom, only the maybe-seen slice pays the shuffle; the
+    bloom-negative slice unions in for free.
     """
+    s = seen.select(F.col("url").alias("_seen_key"))
     if bloom is None:
-        return cands.join(seen.select("url"), "url", "left_anti")
-    tagged = split_by_bloom(cands, bloom)
+        return cands.join(s, cands[key] == s["_seen_key"], "left_anti")
+    tagged = split_by_bloom(cands, bloom, key)
     fresh = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    verified = maybe.join(seen.select("url"), "url", "left_anti")
+    verified = maybe.join(s, maybe[key] == s["_seen_key"], "left_anti")
     return fresh.unionByName(verified)

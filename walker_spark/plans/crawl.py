@@ -384,7 +384,7 @@ def link_candidates(
         F.col("structure.robots").alias("page_robots"),
     )
     filtered = apply_link_filters(cands, conf, robots_bodies, spark)
-    return (
+    agg = (
         filtered.groupBy(F.col("link").alias("url"))
         .agg(
             (F.min("depth") + 1).alias("depth"),
@@ -393,6 +393,35 @@ def link_candidates(
         .withColumn("host", authority_of(F.col("url")))
         .select(*FRONTIER_COLS)
     )
+    if not conf.canonical_seen:
+        return agg
+    # north-rule mode: collapse equivalent spellings onto the canonical
+    # form; fetch the lexicographically smallest spelling. The second
+    # aggregation runs over the already-deduped (small) link set.
+    return (
+        agg.withColumn("canon", _canonicalize_udf()(F.col("url")))
+        .groupBy("canon")
+        .agg(
+            F.min("url").alias("url"),
+            F.min("depth").alias("depth"),
+            F.sum("link_count").alias("link_count"),
+        )
+        .withColumn("host", authority_of(F.col("url")))
+        .select(*FRONTIER_COLS, "canon")
+    )
+
+
+def _canonicalize_udf():
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..urlnorm import canonicalize
+
+    @pandas_udf("string")
+    def _canon(urls: pd.Series) -> pd.Series:
+        return urls.map(canonicalize)
+
+    return _canon
 
 
 @dataclass
@@ -532,17 +561,26 @@ class Crawler:
         manifest = read_json(self._manifest_path()) if resume else None
         if manifest is not None:
             start_round = manifest["round"] + 1
+        # north-rule canonical mode: the seen key is the canonical form
+        # (a `canon` column carried through frontier/seen files).
+        seen_key = "canon" if conf.canonical_seen else "url"
+        fcols = FRONTIER_COLS + (["canon"] if conf.canonical_seen else [])
+        if manifest is not None:
             frontier = io.read(f"rounds/r={manifest['round']:05d}/frontier")
             seen_names = [f"seen/r={k:05d}" for k in range(-1, manifest["round"] + 1) if io.exists(f"seen/r={k:05d}")]
-            seen = io.read_many(seen_names).select("url")
+            seen = io.read_many(seen_names).select(F.col(seen_key).alias("url"))
         else:
             start_round = 0
             self.seeds = seeds_ok
             frontier_df = self._seed_frontier()
+            if conf.canonical_seen:
+                frontier_df = frontier_df.withColumn(
+                    "canon", _canonicalize_udf()(F.col("url"))
+                )
             io.write(frontier_df, "rounds/r=-0001/frontier")
             frontier = io.read("rounds/r=-0001/frontier")
-            io.write(frontier, "seen/r=-0001")  # FRONTIER_COLS schema, like round deltas
-            seen = io.read("seen/r=-0001").select("url")
+            io.write(frontier, "seen/r=-0001")  # frontier schema, like round deltas
+            seen = io.read("seen/r=-0001").select(F.col(seen_key).alias("url"))
             seen_names = ["seen/r=-0001"]
 
         # Bloom prefilter policy: the shards only pay for themselves once
@@ -633,7 +671,7 @@ class Crawler:
             # new = genuinely-new candidates; written once and reused as
             # BOTH the seen delta and the frontier addition (no second
             # anti-join against the growing seen table).
-            new = seen_anti_join(cand, seen, bloom).select(*FRONTIER_COLS)
+            new = seen_anti_join(cand, seen, bloom, key=seen_key).select(*fcols)
             io.write(new, f"seen/r={r:05d}")
             new_seen = io.read(f"seen/r={r:05d}")
             m.new_links = new_seen.count()
@@ -641,14 +679,14 @@ class Crawler:
             # broadcast anti-join, the frontier never shuffles here.
             leftover = frontier.join(
                 F.broadcast(batch.select("url")), "url", "left_anti"
-            ).select(*FRONTIER_COLS)
-            io.write(leftover.unionByName(new_seen.select(*FRONTIER_COLS)), f"{rd}/frontier")
+            ).select(*fcols)
+            io.write(leftover.unionByName(new_seen.select(*fcols)), f"{rd}/frontier")
             next_frontier = io.read(f"{rd}/frontier")
             seen_names.append(f"seen/r={r:05d}")
-            seen = io.read_many(seen_names).select("url")
+            seen = io.read_many(seen_names).select(F.col(seen_key).alias("url"))
             seen_count += m.new_links
             if bloom is not None and m.new_links > 0:
-                bloom.add_urls_distributed(new_seen)
+                bloom.add_urls_distributed(new_seen.select(F.col(seen_key).alias("url")))
             elif self.use_bloom == "auto" and seen_count >= BLOOM_AUTO_THRESHOLD:
                 bloom = BloomShards.sized_for(max(4 * 10**6, 4 * seen_count))
                 bloom.add_urls_distributed(seen)
