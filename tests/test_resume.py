@@ -13,7 +13,7 @@ from walker_spark.sources.synthetic import SiteSpec, build_store, write_pages_ta
 def _mk(spark, paths, store, ckpt, max_rounds=0):
     conf = CrawlConfig(
         target=Target(base_url="https://host-0000.example", paths=["/"]),
-        host_budget=6,
+        host_budget=8,
         group_header="group",
         agent="walker-spark",
         max_rounds=max_rounds,
@@ -30,7 +30,7 @@ def _mk(spark, paths, store, ckpt, max_rounds=0):
 
 
 def test_resume_exactness(spark, tmp_path):
-    spec = SiteSpec(seed=11, n_hosts=2, n_pages=90)
+    spec = SiteSpec(seed=11, n_hosts=2, n_pages=60)
     site = str(tmp_path / "site")
     paths = write_pages_tables(spark, spec, site)
     store = build_store(spec)
