@@ -839,7 +839,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
               FROM documents
             )
-            SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+            SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    round(avg(n_tokens), 4) AS avg_tokens
             FROM t GROUP BY lang ORDER BY lang
         """,

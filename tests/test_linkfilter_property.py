@@ -28,6 +28,13 @@ HREF_POOL = [
     "/a/x.html?page=2", "/a/x.html?utm_source=n", "/a/x.html?color=red",
     "/deep/1/2/3/4/5.html", "mailto:x@y.z", "javascript:void(0)",
     "//cdn.example/c.js", "", "/b/z.html?a=1&b=2", "?onlyquery=1",
+    # ParseQuery edge cases: percent-encoded names decode before matching
+    # (Go url.Values keys), '+' decodes to space, invalid escapes and
+    # ';'-segments drop the pair (an all-invalid query string counts as
+    # *no* query for ignore_all_queries)
+    "/a/x.html?utm%5Fsource=n", "/a/x.html?utm+source=1",
+    "/a/x.html?bad%zz=1", "/a/x.html?ok=%zz", "/a/x.html?a;b=1",
+    "/a/x.html?utm_source%3D=x", "/a/x.html?=v",
 ]
 
 

@@ -167,7 +167,11 @@ class ReferenceDispatcher:
                 return None, chain, ""
             if not page.redirect_to:
                 return page, chain, ""
-            if len(chain) >= REDIRECT_CAP:
+            # Go's CheckRedirect (scrapeloop.go:65-68) errors when
+            # len(via) > 9 and `via` includes the initial request: the
+            # 10th *attempted* redirect fails, so at most 9 are followed
+            # and the error chain carries the 9 recorded hops.
+            if len(chain) >= REDIRECT_CAP - 1:
                 return None, chain, "stopped after 10 redirects"
             chain.append((page.redirect_code, page.redirect_to))
             cur = page.redirect_to

@@ -39,12 +39,48 @@ class LinkLimitations:
     ignore_queries_with: list[str] = field(default_factory=list)
 
 
+_HEX = set("0123456789abcdefABCDEF")
+
+
+def _query_unescape(s: str) -> str | None:
+    """Go ``url.QueryUnescape``: '+' → space, strict %XX (invalid → None).
+    Decoded bytes are read as UTF-8 with replacement, matching Java's
+    URLDecoder (the engine's native ``try_url_decode``)."""
+    out = bytearray()
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "+":
+            out.append(0x20)
+            i += 1
+        elif ch == "%":
+            if i + 2 >= n or s[i + 1] not in _HEX or s[i + 2] not in _HEX:
+                return None
+            out.append(int(s[i + 1 : i + 3], 16))
+            i += 3
+        else:
+            out.extend(ch.encode("utf-8"))
+            i += 1
+    return out.decode("utf-8", errors="replace")
+
+
 def _query_names(query: str) -> list[str]:
-    names = []
+    """Keys of Go's ``linkU.Query()`` map (``net/url.ParseQuery``): split
+    on '&', skip empty segments, skip segments containing ';', percent-
+    and '+'-decode the name, skip pairs whose name fails to decode.
+    Duplicate decoded names collapse (Query() is a map)."""
+    names: list[str] = []
+    seen: set[str] = set()
     for part in query.split("&"):
-        if part == "":
+        if part == "" or ";" in part:
             continue
-        names.append(part.split("=", 1)[0])
+        raw_name, _, raw_value = part.partition("=")
+        name = _query_unescape(raw_name)
+        # ParseQuery also drops the pair when the *value* fails to decode
+        if name is None or _query_unescape(raw_value) is None or name in seen:
+            continue
+        seen.add(name)
+        names.append(name)
     return names
 
 

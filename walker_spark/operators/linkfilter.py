@@ -63,14 +63,34 @@ def query_of(c: Column) -> Column:
 
 
 def has_query(c: Column) -> Column:
-    """Go ``len(linkU.Query()) > 0``: at least one non-empty ``&`` segment."""
-    return F.exists(F.split(query_of(c), "&"), lambda s: s != F.lit(""))
+    """Go ``len(linkU.Query()) > 0``: at least one *valid* parsed pair
+    (ParseQuery skips empty segments, ';'-segments, and pairs whose name
+    or value fails percent-decoding)."""
+    return F.size(query_param_names(c)) > 0
 
 
 def query_param_names(c: Column) -> Column:
-    return F.transform(
-        F.filter(F.split(query_of(c), "&"), lambda s: s != F.lit("")),
-        lambda s: F.split(s, "=")[0],
+    """Decoded keys of Go's ``linkU.Query()`` map — lockstep with
+    :func:`walker_spark.linkcore._query_names`: '+' → space, strict %XX
+    via native ``try_url_decode`` (NULL on invalid → pair skipped), the
+    pair also skipped when its *value* fails to decode, duplicates
+    collapsed (Query() is a map)."""
+
+    def _name(s: Column) -> Column:
+        kv = F.split(s, "=", 2)
+        value = F.coalesce(F.try_element_at(kv, F.lit(2)), F.lit(""))
+        return F.when(
+            (s != F.lit(""))
+            & ~s.contains(";")
+            & F.try_url_decode(value).isNotNull(),
+            F.try_url_decode(kv[0]),
+        )
+
+    return F.array_distinct(
+        F.filter(
+            F.transform(F.split(query_of(c), "&"), _name),
+            lambda x: x.isNotNull(),
+        )
     )
 
 

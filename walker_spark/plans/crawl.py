@@ -25,6 +25,7 @@ pseudo-durations (functions/hashing.py).
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from dataclasses import dataclass, field
@@ -76,53 +77,54 @@ def resolve_redirects(redirects: DataFrame, cap: int = REDIRECT_CAP) -> DataFram
     """redirect_edges(src, code, dst) → redirect_map(src, final_url,
     redirects array<struct<code,url>>, error).
 
-    Pointer doubling: ceil(log2(cap)) self-joins resolve chains up to
-    ``cap`` hops — O(log cap) shuffles regardless of chain count. Chains
-    longer than the cap get walker's "stopped after 10 redirects" error
-    (``scrapeloop.go:65-80``); redirect cycles hit the cap and error too.
+    Pointer doubling: ``ceil(log2(cap))`` self-joins of the chain-state
+    table resolve chains of any length ≤ ``2^k`` in k shuffles — and the
+    whole thing is one lazy plan (no per-hop ``isEmpty`` probe jobs; the
+    single job runs when the map is written). After k = ceil(log2(cap+1))
+    doublings every chain of actual length ≤ cap is fully resolved, so:
+
+    * done ∧ ``size(chain) ≤ cap-1`` → success (Go's CheckRedirect,
+      ``scrapeloop.go:65-68``, errors when ``len(via) > 9`` where ``via``
+      includes the initial request — at most ``cap-1`` = 9 redirects are
+      followed);
+    * anything else (chain needs ≥ cap hops, incl. cycles) → walker's
+      "stopped after 10 redirects" error with the first ``cap-1`` hops
+      recorded, exactly what the Go client leaves in the request context.
     """
-    # state: src, cur (chain head), chain, done
+    max_follow = cap - 1  # 9 followed redirects, the 10th attempt errors
+    # state after min(2^k, actual) hops: src → (cur head, chain, done)
     m = redirects.select(
         F.col("src"),
         F.col("dst").alias("cur"),
         F.array(F.struct(F.col("code").cast("int").alias("code"), F.col("dst").alias("url"))).alias("chain"),
+        F.lit(False).alias("done"),
     )
-    edges = redirects.select(
-        F.col("src").alias("e_src"),
-        F.col("dst").alias("e_dst"),
-        F.col("code").cast("int").alias("e_code"),
-    )
-    hops = 1
-    while hops < cap:
-        # early exit: stop extending once no chain head has an outgoing
-        # edge (real chains are short; 10 blind joins would cost ~10
-        # driver-serial job launches)
-        if m.join(edges, m["cur"] == edges["e_src"], "left_semi").isEmpty():
-            break
-        hops += 1
-        m = m.join(edges, m["cur"] == edges["e_src"], "left").select(
-            "src",
-            F.coalesce(F.col("e_dst"), F.col("cur")).alias("cur"),
-            F.when(
-                F.col("e_dst").isNotNull(),
-                F.concat(
-                    F.col("chain"),
-                    F.array(F.struct(F.col("e_code").alias("code"), F.col("e_dst").alias("url"))),
-                ),
-            )
-            .otherwise(F.col("chain"))
-            .alias("chain"),
+    k = math.ceil(math.log2(cap + 1))
+    for _ in range(k):
+        nxt = m.select(
+            F.col("src").alias("n_src"),
+            F.col("cur").alias("n_cur"),
+            F.col("chain").alias("n_chain"),
+            F.col("done").alias("n_done"),
         )
-    # After `cap` extensions: a still-unresolved head (cur has an
-    # outgoing edge) exceeds walker's cap → error, like the 11th
-    # redirect in CheckRedirect (scrapeloop.go:65-80). Cycles land here.
-    m = m.join(edges, m["cur"] == edges["e_src"], "left")
-    overflow = F.col("e_dst").isNotNull()
+        m = m.join(nxt, m["cur"] == nxt["n_src"], "left").select(
+            "src",
+            F.when(F.col("done") | F.col("n_src").isNull(), F.col("cur"))
+            .otherwise(F.col("n_cur"))
+            .alias("cur"),
+            F.when(F.col("done") | F.col("n_src").isNull(), F.col("chain"))
+            .otherwise(F.concat(F.col("chain"), F.col("n_chain")))
+            .alias("chain"),
+            (F.col("done") | F.col("n_src").isNull() | F.col("n_done")).alias("done"),
+        )
+    # post-doubling every actual-length ≤ 2^k ≥ cap+1 chain is done;
+    # not-done rows are cycles / longer-than-2^k chains → overflow too.
+    ok = F.col("done") & (F.size("chain") <= max_follow)
     return m.select(
         "src",
-        F.when(overflow, F.lit(None)).otherwise(F.col("cur")).alias("final_url"),
-        F.col("chain").alias("redirects"),
-        F.when(overflow, F.lit("stopped after 10 redirects")).otherwise(F.lit("")).alias("error"),
+        F.when(ok, F.col("cur")).otherwise(F.lit(None)).alias("final_url"),
+        F.when(ok, F.col("chain")).otherwise(F.slice("chain", 1, max_follow)).alias("redirects"),
+        F.when(ok, F.lit("")).otherwise(F.lit("stopped after 10 redirects")).alias("error"),
     )
 
 
