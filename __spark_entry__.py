@@ -619,6 +619,103 @@ _NORM_TEXT_SQL = (
 )
 
 
+def _langid_sql() -> str:
+    """DuckDB replica of functions/text.py language_id_udf: lowercase,
+    CJK block share on the first 400 chars, else per-language trigram
+    occurrence scores over the first 1000 chars; strictly-greater update
+    order en→de→fr→es→it means earlier languages win ties; best < 2 →
+    unk. Occurrence counting is non-overlapping on both sides
+    (str.count vs replace-delta)."""
+    from walker_spark.functions.text import _PROFILES
+
+    def count_expr(g: str) -> str:
+        e = g.replace("'", "''")
+        return f"(length(s1000) - length(replace(s1000, '{e}', ''))) / {len(g)}"
+
+    score_cols = ",\n                 ".join(
+        f"({' + '.join(count_expr(g) for g in grams)}) AS s_{lang}"
+        for lang, grams in _PROFILES.items()
+    )
+    langs = list(_PROFILES)
+    branches = []
+    for i, lang in enumerate(langs):
+        later = langs[i + 1 :]
+        conds = [f"s_{lang} >= 2"] + [f"s_{lang} >= s_{o}" for o in later]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "\n                 ".join(branches)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, lower(coalesce(text, '')) AS t
+          FROM documents WHERE doc_id < 200
+        ), s AS (
+          SELECT doc_id, t, substr(t, 1, 400) AS s400, substr(t, 1, 1000) AS s1000
+          FROM t
+        ), sc AS (
+          SELECT doc_id, t,
+                 length(regexp_replace(s400, '[^一-鿿]', '', 'g')) AS n_cjk,
+                 length(s400) AS n400,
+                 {score_cols}
+          FROM s
+        )
+        SELECT doc_id,
+          CASE WHEN t = '' THEN 'unk'
+               WHEN n_cjk > n400 * 0.2 THEN 'zh'
+               {case}
+               ELSE 'unk' END AS pred_lang
+        FROM sc ORDER BY doc_id
+    """
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB replica of operators/similarity.lsh_cosine_topk with the
+    seed-42 hyperplanes embedded as literals (bands=16, rows_per_band=6,
+    dim=64 — the embeddings tables' dimension at every SF): candidates =
+    pairs sharing ≥1 sign-bit band, exact cosine re-rank. The plane set
+    is pure numpy (independent of Spark), so the oracle is a genuinely
+    independent computation."""
+    from walker_spark.operators.similarity import _hyperplanes
+
+    bands, rows, dim = 16, 6, 64
+    planes = _hyperplanes(dim, bands * rows, seed=42)
+    values = ",\n              ".join(
+        f"({b * rows + i}, {b}, {i}, [{', '.join(repr(x) for x in planes[b * rows + i])}]::DOUBLE[])"
+        for b in range(bands)
+        for i in range(rows)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        planes(pid, band, i, p) AS (VALUES
+              {values}
+        ),
+        proj AS (
+          SELECT e.vec_id, pl.band,
+                 SUM(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                          THEN (1::BIGINT << pl.i) ELSE 0 END) AS bucket
+          FROM e CROSS JOIN planes pl
+          GROUP BY e.vec_id, pl.band
+        ),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM proj q JOIN proj c ON q.band = c.band AND q.bucket = c.bucket
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 round(round(list_cosine_similarity(qe.v, ce.v), 6), 4) AS cos,
+                 row_number() OVER (
+                   PARTITION BY cand.query_id
+                   ORDER BY round(list_cosine_similarity(qe.v, ce.v), 6) DESC,
+                            cand.neighbor_id ASC
+                 ) AS rank
+          FROM cand
+          JOIN e qe ON qe.vec_id = cand.query_id
+          JOIN e ce ON ce.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM scored
+        WHERE rank <= 10 ORDER BY query_id, rank
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "crawl_status_histogram": f"""
@@ -877,7 +974,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.v, b.v) >= 0.4
             ORDER BY id_a, id_b
         """,
+        # dedup_minhash_lsh: the oracle is the EXACT jaccard pair set —
+        # LSH with 32 bands / 128 hashes at threshold 0.35 has recall 1.0
+        # on these tables (checked at sf0.001/0.01/0.1 and pinned by the
+        # lsh==exact pytest), so the candidate path must reproduce the
+        # exact answer bit-for-bit. Short docs (<3 tokens) get one
+        # whole-text shingle, mirroring shingle_expr's fallback window.
+        "dedup_minhash_lsh": f"""
+            WITH norm AS (
+              SELECT doc_id, {_NORM_TEXT_SQL} AS t FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(t, ' ')) AS tok,
+                     generate_subscripts(string_split(t, ' '), 1) AS pos
+              FROM norm
+            ),
+            sh AS (
+              SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+              FROM toks a
+              JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+              UNION
+              SELECT doc_id, t AS s FROM norm
+              WHERE len(string_split(t, ' ')) < 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.35
+            ORDER BY id_a, id_b
+        """,
+        "text_langid": _langid_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
         # no oracle (non-SQL-expressible → driver rows-only check):
-        # dedup_minhash_lsh, dedup_simhash, text_langid, text_fingerprint,
-        # ann_lsh_topk, ann_ivf_topk
+        # dedup_simhash + text_fingerprint key on Spark's xxhash64 (no
+        # DuckDB equivalent); ann_ivf_topk's centroids come from
+        # distributed Lloyd iterations whose float-sum order a SQL
+        # replica cannot reproduce bit-exactly.
     }

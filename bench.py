@@ -38,8 +38,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "12000"))
 N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "24"))
-KERNEL_PAGES = int(os.environ.get("SPARK_GRAFT_KERNEL_PAGES", "240000"))
+KERNEL_PAGES = int(os.environ.get("SPARK_GRAFT_KERNEL_PAGES", "480000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "64"))
 # python-UDF stages need headroom for Arrow buffers at 32 concurrent tasks
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
 
@@ -66,6 +67,14 @@ def _spark(cores: int):
         master=f"local[{cores}]",
         shuffle_partitions=2 * cores,
     )
+    # the broadcast-batch fetch join runs the extract UDF on pages *scan*
+    # partitions — split small bench files finely so the stage isn't
+    # capped by file count
+    s.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    s.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
+    # the bucketed pages table is written one-file-per-bucket, so its
+    # url-sorted scan can feed the merge join without a re-sort
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     s.sparkContext.setLogLevel("ERROR")
     return s
 
@@ -73,16 +82,26 @@ def _spark(cores: int):
 def gen_site(spark, n_hosts: int, n_pages: int) -> dict[str, str]:
     from walker_spark.sources.synthetic import SiteSpec, write_pages_tables
 
-    out = f"/tmp/walker_spark_bench_site_{n_hosts}x{n_pages}"
+    out = f"/tmp/walker_spark_bench_site_v3_{n_hosts}x{n_pages}"
     spec = SiteSpec(seed=42, n_hosts=n_hosts, n_pages=n_pages)
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return {
             k: f"{out}/{k}.parquet"
             for k in ("pages", "redirect_edges", "robots", "seeds")
-        }
+        } | {"pages_bucketed": f"{out}/pages_bucketed"}
     shutil.rmtree(out, ignore_errors=True)
     paths = write_pages_tables(spark, spec, out)
+    # bucketed-by-url variant: the co-located fetch-join layout
+    from walker_spark.sources.tables import write_bucketed_table
+
+    paths["pages_bucketed"] = f"{out}/pages_bucketed"
+    write_bucketed_table(
+        spark.read.parquet(paths["pages"]).select("url", "html"),
+        paths["pages_bucketed"],
+        table=f"pages_bucketed_{n_hosts}x{n_pages}",
+        buckets=BUCKETS,
+    )
     open(marker, "w").write("ok")
     return paths
 
@@ -94,8 +113,13 @@ def run_kernel(spark, paths, tag: str) -> dict:
     from walker_spark.config import CrawlConfig, Target
     from walker_spark.plans.crawl import Crawler
     from walker_spark.sources.synthetic import host_name
+    from walker_spark.sources.tables import register_bucketed_table
 
-    pages = spark.read.parquet(paths["pages"])
+    # co-located fetch join: pages bucketed by url, catalog re-registered
+    # per session (bucket metadata lives in the catalog, not the files)
+    pages = register_bucketed_table(
+        spark, paths["pages_bucketed"], table="pages_bucketed_kernel", buckets=BUCKETS
+    )
     conf = CrawlConfig(
         target=Target(base_url=f"https://{host_name(0)}", paths=["/"]),
         # budget 0 = whole frontier in one batch: politeness windows with
@@ -118,6 +142,11 @@ def run_kernel(spark, paths, tag: str) -> dict:
         multi_host=True,
         seeds=pages.select("url"),
         use_bloom=False,
+        # the mega-round touches every host — an isin prune of the pages
+        # scan would be a no-op probe job
+        host_prune=None,
+        seeds_unique=True,  # seeds = the pages url column, unique by construction
+        fetch_strategy="bucketed",
     )
     t0 = time.time()
     summary = crawler.run()

@@ -26,7 +26,32 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None, help="spark master (default local[*])")
     ap.add_argument("--resume", action="store_true", help="resume from checkpoint")
     ap.add_argument("--multi-host", action="store_true")
-    ap.add_argument("--report", choices=["summary", "none"], default="summary")
+    ap.add_argument(
+        "--loops",
+        type=int,
+        default=1,
+        help="crawl to fixpoint N times, restarting from seeds each time "
+        "(walker's monitoring loop; each loop keeps its own snapshot)",
+    )
+    report_choices = [
+        "summary", "results", "list", "highscore", "broken-links", "seo",
+        "redirects", "schema", "validations", "errors", "links",
+        "prometheus", "none",
+    ]
+    ap.add_argument(
+        "--report",
+        choices=report_choices,
+        default="summary",
+        help="render one of walker's report endpoints (reports/reports.go:61-127) "
+        "or the prometheus metrics text after the crawl",
+    )
+    ap.add_argument(
+        "--serve",
+        type=int,
+        metavar="PORT",
+        help="serve all report endpoints + /metrics over HTTP after the crawl "
+        "(blocks until interrupted)",
+    )
     args = ap.parse_args(argv)
 
     from .config import load_config
@@ -54,12 +79,30 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_dir=args.checkpoint,
         multi_host=args.multi_host,
     )
-    summary = crawler.run(resume=args.resume)
-    print(json.dumps(summary))
-    if args.report == "summary":
-        from .operators.reports import render_summary
+    if args.loops > 1:
+        summaries = crawler.run_loops(args.loops, resume=args.resume)
+        summary = summaries[-1]
+        print(json.dumps({"loops": len(summaries), "last": summary}))
+    else:
+        summary = crawler.run(resume=args.resume)
+        print(json.dumps(summary))
+    if args.report == "prometheus":
+        from .operators.prometheus import render_prometheus
 
-        print(render_summary(crawler.results_df()))
+        print(render_prometheus(crawler.results_df(), paths=conf.target.paths))
+    elif args.report != "none":
+        from .operators.report_server import render_report
+
+        print(render_report(args.report, crawler.results_df()))
+    if args.serve is not None:
+        from .operators.report_server import serve_reports
+
+        server, thread = serve_reports(crawler, args.serve, paths=conf.target.paths)
+        print(f"serving reports on http://127.0.0.1:{server.server_address[1]}/")
+        try:
+            thread.join()
+        except KeyboardInterrupt:
+            server.shutdown()
     spark.stop()
     return 0
 

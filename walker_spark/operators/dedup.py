@@ -109,9 +109,14 @@ def minhash_lsh_pairs(
         shingle_expr(F.col(text_col), shingle_n).alias("shingles"),
     ).withColumn("sig", minhash_signature_expr(F.col("shingles"), num_hashes))
 
+    # The band explode + bucket self-join carry (id, band, bucket) ONLY —
+    # never the shingle arrays. Shuffle volume is `bands` small ints per
+    # doc instead of `bands` copies of the document's feature payload
+    # (at 100 TB the payload-through-bands shuffle dominates everything
+    # else in the pipeline). Shingles re-join below, computed only for
+    # docs that actually appear in a candidate pair.
     banded = base.select(
         "id",
-        "shingles",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -134,18 +139,27 @@ def minhash_lsh_pairs(
     capped = banded.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= max_bucket
     )
-    a = capped.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    b = capped.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
-    )
-    pairs = (
+    a = capped.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_a"))
+    b = capped.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_b"))
+    pair_ids = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # exact-Jaccard verify: shingle only the candidate docs (semi-join
+    # prunes the scan before the expensive shingle projection runs)
+    cand_ids = pair_ids.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
+    ).distinct()
+    sh = (
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+        .join(cand_ids, "id", "left_semi")
+        .select("id", shingle_expr(F.col(text_col), shingle_n).alias("sh"))
+    )
+    pairs = pair_ids.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (

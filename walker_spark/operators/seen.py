@@ -55,23 +55,51 @@ class BloomShards:
         return cls(n_shards, per_shard, min(k, 8))
 
     # -- pure bit math (runs on executors inside treeAggregate/UDFs) --
-    def _positions(self, url: str) -> tuple[int, np.ndarray]:
-        h = stable_hash64(url)
-        shard = h % self.n_shards
-        h1 = h >> 6
-        h2 = stable_hash64("b2:" + url) | 1
-        idx = (h1 + np.arange(self.k, dtype=np.uint64) * np.uint64(h2 & 0xFFFFFFFF)) % np.uint64(self.bits)
+    # Probing is batch-vectorized: the only per-url Python work is the
+    # two blake2b hashes; index/gather/compare run as a handful of numpy
+    # ops per *batch*. At 10^10 URLs the probe sits on the per-round hot
+    # path, so per-row numpy-call overhead would dominate it.
+    _CHUNK = 1 << 17  # bounds the (N, k) index matrices to a few MB
+
+    def _positions_batch(self, urls: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """(shard[N], idx[N, k]) — identical bit positions to the
+        historical scalar path (uint64 wraparound arithmetic)."""
+        n = len(urls)
+        h = np.fromiter((stable_hash64(u) for u in urls), dtype=np.uint64, count=n)
+        h2 = np.fromiter(
+            (stable_hash64("b2:" + u) for u in urls), dtype=np.uint64, count=n
+        ) | np.uint64(1)
+        shard = (h % np.uint64(self.n_shards)).astype(np.int64)
+        h1 = h >> np.uint64(6)
+        ks = np.arange(self.k, dtype=np.uint64)[None, :]
+        idx = (h1[:, None] + ks * (h2[:, None] & np.uint64(0xFFFFFFFF))) % np.uint64(self.bits)
         return shard, idx.astype(np.int64)
 
+    def add_batch(self, urls: list[str]) -> None:
+        for lo in range(0, len(urls), self._CHUNK):
+            chunk = urls[lo : lo + self._CHUNK]
+            shard, idx = self._positions_batch(chunk)
+            flat = self.arrays.reshape(-1)
+            pos = (shard[:, None] * (self.bits // 8) + (idx >> 3)).reshape(-1)
+            masks = (np.uint8(1) << (idx & 7).astype(np.uint8)).reshape(-1)
+            np.bitwise_or.at(flat, pos, masks)
+        self.count += len(urls)
+
+    def contains_batch(self, urls: list[str]) -> np.ndarray:
+        out = np.empty(len(urls), dtype=bool)
+        for lo in range(0, len(urls), self._CHUNK):
+            chunk = urls[lo : lo + self._CHUNK]
+            shard, idx = self._positions_batch(chunk)
+            masks = (np.uint8(1) << (idx & 7).astype(np.uint8))
+            got = self.arrays[shard[:, None], idx >> 3] & masks
+            out[lo : lo + len(chunk)] = (got == masks).all(axis=1)
+        return out
+
     def add(self, url: str) -> None:
-        shard, idx = self._positions(url)
-        np.bitwise_or.at(self.arrays[shard], idx >> 3, (1 << (idx & 7)).astype(np.uint8))
-        self.count += 1
+        self.add_batch([url])
 
     def contains(self, url: str) -> bool:
-        shard, idx = self._positions(url)
-        bits = (self.arrays[shard, idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
-        return bool(bits.all())
+        return bool(self.contains_batch([url])[0])
 
     def merge(self, other: "BloomShards") -> "BloomShards":
         np.bitwise_or(self.arrays, other.arrays, out=self.arrays)
@@ -80,15 +108,28 @@ class BloomShards:
 
     # -- distributed build --
     def add_urls_distributed(self, urls_df: DataFrame, depth: int = 2) -> "BloomShards":
-        """OR-in every url of ``urls_df`` (column ``url``) via
-        treeAggregate: per-partition local blooms, tree-merged."""
+        """OR-in every url of ``urls_df`` (column ``url``): one local
+        bloom per partition built with batch bit math, tree-merged
+        executor→executor (never all-to-driver)."""
         params = (self.n_shards, self.bits, self.k)
+        chunk = self._CHUNK
 
-        def seq_op(acc: BloomShards | None, row) -> BloomShards:
-            if acc is None:
-                acc = BloomShards(*params)
-            acc.add(row[0])
-            return acc
+        def build(rows):
+            acc = None
+            batch: list[str] = []
+            for row in rows:
+                batch.append(row[0])
+                if len(batch) >= chunk:
+                    if acc is None:
+                        acc = BloomShards(*params)
+                    acc.add_batch(batch)
+                    batch = []
+            if batch:
+                if acc is None:
+                    acc = BloomShards(*params)
+                acc.add_batch(batch)
+            if acc is not None:
+                yield acc
 
         def comb_op(a: BloomShards | None, b: BloomShards | None):
             if a is None:
@@ -97,7 +138,9 @@ class BloomShards:
                 return a
             return a.merge(b)
 
-        delta = urls_df.select("url").rdd.treeAggregate(None, seq_op, comb_op, depth=depth)
+        delta = urls_df.select("url").rdd.mapPartitions(build).treeAggregate(
+            None, comb_op, comb_op, depth=depth
+        )
         if delta is not None:
             self.merge(delta)
         return self
@@ -114,7 +157,7 @@ def split_by_bloom(cands: DataFrame, bloom: BloomShards, key: str = "url") -> Da
         n_shards, bits, k, arrays = bc.value
         probe = BloomShards(n_shards, bits, k)
         probe.arrays = arrays
-        return pd.Series([probe.contains(u) for u in urls])
+        return pd.Series(probe.contains_batch(urls.tolist()))
 
     return cands.withColumn("maybe_seen", maybe_seen(F.col(key)))
 

@@ -226,14 +226,19 @@ def embedding_near_dup_pairs(
         sig = F.array(
             *[_signature_expr(F.col("v"), planes, b, rows_per_band) for b in range(bands)]
         )
-        banded = base.select("id", "v", F.posexplode(sig).alias("band", "bucket"))
-        a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-        b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-        pairs = (
+        # ids-only through the band shuffle (see lsh_cosine_topk);
+        # vectors re-join for the exact verify only
+        banded = base.select("id", F.posexplode(sig).alias("band", "bucket"))
+        a = banded.select("band", "bucket", F.col("id").alias("id_a"))
+        b = banded.select("band", "bucket", F.col("id").alias("id_b"))
+        pair_ids = (
             a.join(b, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
+        pairs = pair_ids.join(
+            base.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+        ).join(base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     # filter on the raw cosine, round only for output (filtering on the
     # rounded value would disagree with an oracle filtering raw values
     # for pairs within 5e-5 of the threshold)
@@ -271,15 +276,23 @@ def lsh_cosine_topk(
         )
         return df.select(*cols, F.posexplode(sig_arr).alias("band", "bucket"))
 
-    cb = banded(corpus, "neighbor_id", "c_vec")
-    qb = banded(queries, "query_id", "q_vec")
-    cand = (
+    # ids-only band join: the embedding vectors never ride the band
+    # shuffle (bands× the corpus payload otherwise); candidate ids dedup
+    # first, vectors re-join once per side for the exact re-rank.
+    cb = banded(corpus, "neighbor_id", "c_vec").select("band", "bucket", "neighbor_id")
+    qb = banded(queries, "query_id", "q_vec").select("band", "bucket", "query_id")
+    cand_ids = (
         cb.join(qb, ["band", "bucket"])
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     if not include_self:
-        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        cand_ids = cand_ids.filter(F.col("neighbor_id") != F.col("query_id"))
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    qvecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cand = cand_ids.join(cvecs, "neighbor_id").join(F.broadcast(qvecs), "query_id")
     scored = cand.withColumn(
         "cos", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6)
     )

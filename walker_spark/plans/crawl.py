@@ -128,6 +128,9 @@ def resolve_redirects(redirects: DataFrame, cap: int = REDIRECT_CAP) -> DataFram
     )
 
 
+BROADCAST_BATCH_MAX = 1_000_000  # batch rows; above this the broadcast build would strain the driver
+
+
 def fetch_and_extract(
     batch: DataFrame,
     pages: DataFrame,
@@ -141,6 +144,8 @@ def fetch_and_extract(
     validation_func=None,
     group_validator=None,
     link_list_filter=None,
+    strategy: str = "auto",
+    batch_rows: int | None = None,
 ) -> DataFrame:
     """J1 + H1/H2: the fetch join and the vectorized extract stage.
 
@@ -154,6 +159,27 @@ def fetch_and_extract(
     the whole table into the join. (At web scale a round can touch
     millions of hosts — the caller only passes this when the host list
     is small.)
+
+    Join ``strategy`` — the html bytes are the dominant data volume, so
+    the strategy is chosen to move them as little as possible:
+
+    * ``"broadcast"`` (auto when ``batch_rows`` ≤ ``BROADCAST_BATCH_MAX``)
+      — broadcast the *batch* (urls + small ints, never html) and
+      inner-join it into the pages scan: html is consumed by the extract
+      UDF in the scan partitions with **zero html exchange**. Batch rows
+      with no page (404) come from a url-column-only anti-join; fetch
+      errors bypass the page lookup. All three slices union into one
+      ``mapInPandas``.
+    * ``"shuffle_hash"`` (auto above the threshold) — broadcast-semi
+      shrink of pages to the batch's url set, then a SHUFFLE_HASH join:
+      one batch-sized html exchange, no driver funnel, no sort. The
+      10^10-frontier fat-round path for an unbucketed pages table.
+    * ``"bucketed"`` — ``pages`` is a bucketed-by-url table
+      (``spark.table(...)`` of a ``bucketBy(n, "url").sortBy("url")``
+      write): a plain left join runs bucket-co-located — NO exchange of
+      html, NO driver broadcast/funnel of anything, only the small batch
+      side shuffles into the bucket layout. The steady-state fat-round
+      plan at the 10^10 design point.
 
     ``scrape_func``/``validation_func``: walker's user extension hooks
     (reference ``walker.go:45,47``; called ``scrape.go:132-149``) —
@@ -205,26 +231,61 @@ def fetch_and_extract(
         if isinstance(host_prune, list) and len(host_prune) <= 10_000:
             p = p.filter(F.col("host").isin(host_prune))
     p = p.select(F.col("url").alias("page_url"), F.col("html"))
-    # Join strategy: the batch is always small next to `pages`, but a
-    # plain `j LEFT JOIN p` cannot broadcast (only the preserved side is
-    # small), so it would sort-merge-shuffle the whole pages table every
-    # round. Shrink pages first with a broadcast LEFT SEMI (pages
-    # streams once, batch keys are the build side — no pages shuffle);
-    # the left join then runs on the shrunken slice, which AQE converts
-    # to a broadcast join at runtime.
-    p_small = p.join(
-        F.broadcast(j.select(F.col("final_url").alias("page_url")).distinct()),
-        "page_url",
-        "left_semi",
-    )
-    # SHUFFLE_HASH, not broadcast: in a fat round p_small ≈ the whole
-    # pages slice (100s of MB of html) — funneling it through a driver
-    # broadcast serializes the round. A shuffle-hash join keys both
-    # sides by url, giving the extract stage shuffle-wide parallelism;
-    # no sort (html rows never sort-merge), AQE still splits skew.
-    joined = j.join(
-        p_small.hint("SHUFFLE_HASH"), j["final_url"] == p_small["page_url"], "left"
-    )
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if batch_rows is not None and batch_rows <= BROADCAST_BATCH_MAX
+            else "shuffle_hash"
+        )
+    if strategy == "broadcast":
+        # Batch side broadcast (urls + scheduling ints — NOT html): the
+        # inner join runs inside the pages scan partitions, so the html
+        # bytes never cross an exchange and the extract UDF inherits the
+        # scan's parallelism (no AQE-coalesce trap: there's no shuffle
+        # to coalesce). 404s come from a url-only anti-join against the
+        # pages url column (column-pruned scan, SHUFFLE_HASH keeps the
+        # big side unsorted); fetch errors never touch pages.
+        j_err = j.filter(F.col("fetch_error") != "")
+        j_ok = j.filter(F.col("fetch_error") == "")
+        inner = p.join(F.broadcast(j_ok), p["page_url"] == j_ok["final_url"], "inner")
+        p_urls = p.select("page_url")
+        missing = j_ok.join(
+            p_urls.hint("SHUFFLE_HASH"),
+            j_ok["final_url"] == p_urls["page_url"],
+            "left_anti",
+        )
+
+        def _pageless(df: DataFrame) -> DataFrame:
+            return df.withColumn("page_url", F.lit(None).cast("string")).withColumn(
+                "html", F.lit(None).cast("binary")
+            )
+
+        joined = inner.unionByName(_pageless(missing)).unionByName(_pageless(j_err))
+    elif strategy == "bucketed":
+        # MERGE hint: never let the planner broadcast the html side (it
+        # would funnel the pages slice through the driver); the bucketed,
+        # url-sorted scan satisfies the merge join's distribution and
+        # ordering, so only the small batch side exchanges+sorts.
+        joined = j.join(p.hint("MERGE"), j["final_url"] == p["page_url"], "left")
+    else:
+        # Fat-round path (batch too big to broadcast): a plain
+        # `j LEFT JOIN p` cannot broadcast either side, so it would
+        # sort-merge-shuffle the whole pages table every round. Shrink
+        # pages first with a broadcast LEFT SEMI (pages streams once,
+        # batch keys are the build side — no pages shuffle); then a
+        # SHUFFLE_HASH join, not broadcast: p_small is ≈ the whole
+        # batch's html (100s of MB+) — funneling it through a driver
+        # broadcast serializes the round. Shuffle-hash keys both sides
+        # by url with shuffle-wide parallelism for the extract; no sort
+        # (html rows never sort-merge), AQE still splits skew.
+        p_small = p.join(
+            F.broadcast(j.select(F.col("final_url").alias("page_url")).distinct()),
+            "page_url",
+            "left_semi",
+        )
+        joined = j.join(
+            p_small.hint("SHUFFLE_HASH"), j["final_url"] == p_small["page_url"], "left"
+        )
 
     rn = round_no
     ghe = group_header_enabled
@@ -460,6 +521,8 @@ class Crawler:
         link_list_filter=None,
         group_validator=None,
         host_prune: str | None = "auto",
+        fetch_strategy: str = "auto",
+        seeds_unique: bool = False,
     ):
         """Hooks mirror walker's extension points (SURVEY.md §2.10):
         ``scrape_func(html) -> json-able`` (ScrapeFunc),
@@ -485,6 +548,8 @@ class Crawler:
         self.link_list_filter = link_list_filter
         self.group_validator = group_validator
         self.host_prune = host_prune
+        self.fetch_strategy = fetch_strategy
+        self.seeds_unique = seeds_unique
         self.metrics: list[RoundMetrics] = []
 
     # ---- fail-start (scrapeloop.go:281-289) ----
@@ -511,9 +576,14 @@ class Crawler:
             # distributed, never collected to the driver.
             from ..operators.linkfilter import authority_of
 
+            seeds = self.seeds.select("url")
+            if not self.seeds_unique:
+                # callers that KNOW their seed table is already unique
+                # (e.g. the url column of a pages table) skip this
+                # whole-table shuffle with seeds_unique=True
+                seeds = seeds.dropDuplicates(["url"])
             return (
-                self.seeds.select("url")
-                .dropDuplicates(["url"])
+                seeds
                 .select(
                     "url",
                     authority_of(F.col("url")).alias("host"),
@@ -561,16 +631,16 @@ class Crawler:
             redirect_map = io.read("redirect_map")
 
         manifest = read_json(self._manifest_path()) if resume else None
-        if manifest is not None:
-            start_round = manifest["round"] + 1
         # north-rule canonical mode: the seen key is the canonical form
         # (a `canon` column carried through frontier/seen files).
         seen_key = "canon" if conf.canonical_seen else "url"
         fcols = FRONTIER_COLS + (["canon"] if conf.canonical_seen else [])
         if manifest is not None:
-            frontier = io.read(f"rounds/r={manifest['round']:05d}/frontier")
-            seen_names = [f"seen/r={k:05d}" for k in range(-1, manifest["round"] + 1) if io.exists(f"seen/r={k:05d}")]
-            seen = io.read_many(seen_names).select(F.col(seen_key).alias("url"))
+            start_round = manifest["round"] + 1
+            seen_names = list(manifest["seen_dirs"])
+            frontier_dir = manifest["frontier_dir"]
+            frontier_n = io.row_count(frontier_dir)
+            seen_count = sum(io.row_count(d) for d in seen_names)
         else:
             start_round = 0
             self.seeds = seeds_ok
@@ -579,11 +649,17 @@ class Crawler:
                 frontier_df = frontier_df.withColumn(
                     "canon", _canonicalize_udf()(F.col("url"))
                 )
-            io.write(frontier_df, "rounds/r=-0001/frontier")
-            frontier = io.read("rounds/r=-0001/frontier")
-            io.write(frontier, "seen/r=-0001")  # frontier schema, like round deltas
-            seen = io.read("seen/r=-0001").select(F.col(seen_key).alias("url"))
-            seen_names = ["seen/r=-0001"]
+            # the seed frontier doubles as the first seen delta — one
+            # write, one directory (a seen delta has frontier schema).
+            frontier_dir = "rounds/r=-0001/frontier"
+            io.write(frontier_df, frontier_dir)
+            seen_names = [frontier_dir]
+            frontier_n = io.row_count(frontier_dir)
+            seen_count = frontier_n
+        frontier = (
+            io.read(frontier_dir).select(*fcols) if frontier_n > 0 else None
+        )
+        seen = io.read_many(seen_names).select(F.col(seen_key).alias("url"))
 
         # Bloom prefilter policy: the shards only pay for themselves once
         # the seen table dwarfs the per-round candidate set — 'auto'
@@ -591,8 +667,6 @@ class Crawler:
         # the full seen table, then incremental deltas); True forces them
         # from round 0 (tests / the 10^10 design point); False disables.
         bloom = None
-        frontier_n = frontier.count()
-        seen_count = frontier_n if not resume else seen.count()
         if self.use_bloom is True:
             bloom = BloomShards.sized_for(max(4 * 10**6, 4 * seen_count))
             bloom.add_urls_distributed(seen.select("url"))
@@ -635,6 +709,8 @@ class Crawler:
                 validation_func=self.validation_func,
                 group_validator=self.group_validator,
                 link_list_filter=self.link_list_filter,
+                strategy=self.fetch_strategy,
+                batch_rows=frontier_n,  # batch ⊆ frontier: a safe upper bound
             )
             if self.result_modifier is not None:
                 results = self.result_modifier(results)
@@ -643,8 +719,9 @@ class Crawler:
             # per-partition lineage (north rule): which host_hash
             # partitions contributed how many results this round — the
             # audit trail that lets a resumed/replayed job prove it
-            # covered the same partitions. Its row sums double as the
-            # fetched count (no separate count scan of results).
+            # covered the same partitions. One column-pruned job; the
+            # fetched count itself comes from the results parquet
+            # footers (zero jobs).
             io.write(
                 results.groupBy(
                     F.pmod(F.xxhash64("host"), F.lit(conf.partitions)).alias("host_hash"),
@@ -656,9 +733,7 @@ class Crawler:
                 ),
                 f"{rd}/lineage",
             )
-            m.fetched = (
-                io.read(f"{rd}/lineage").agg(F.sum("rows")).collect()[0][0] or 0
-            )
+            m.fetched = io.row_count(f"{rd}/results")
             total_fetched += m.fetched
             m.seconds["fetch_extract"] = round(time.time() - t0, 3)
 
@@ -670,35 +745,55 @@ class Crawler:
                 self.spark,
                 use_custom_links=self.link_list_filter is not None,
             )
-            # new = genuinely-new candidates; written once and reused as
-            # BOTH the seen delta and the frontier addition (no second
-            # anti-join against the growing seen table).
+            # new = genuinely-new candidates. ONE fused write produces the
+            # next frontier (leftover ∪ new) partitioned by is_new; the
+            # is_new=true subdirectory IS the round's seen delta — no
+            # separate seen-delta write job, no second anti-join against
+            # the growing seen table.
             new = seen_anti_join(cand, seen, bloom, key=seen_key).select(*fcols)
-            io.write(new, f"seen/r={r:05d}")
-            new_seen = io.read(f"seen/r={r:05d}")
-            m.new_links = new_seen.count()
-            # leftover = frontier ∖ batch; batch keys are small →
-            # broadcast anti-join, the frontier never shuffles here.
-            leftover = frontier.join(
-                F.broadcast(batch.select("url")), "url", "left_anti"
-            ).select(*fcols)
-            io.write(leftover.unionByName(new_seen.select(*fcols)), f"{rd}/frontier")
-            next_frontier = io.read(f"{rd}/frontier")
-            seen_names.append(f"seen/r={r:05d}")
-            seen = io.read_many(seen_names).select(F.col(seen_key).alias("url"))
+            out = new.withColumn("is_new", F.lit(True))
+            if conf.host_budget > 0:
+                # leftover = frontier ∖ batch; batch keys are small →
+                # broadcast anti-join, the frontier never shuffles here.
+                # With no budget the batch IS the frontier — leftover is
+                # provably empty and the broadcast would be frontier-sized
+                # (a driver OOM at the 10^10 design point), so skip it.
+                leftover = frontier.join(
+                    F.broadcast(batch.select("url")), "url", "left_anti"
+                ).select(*fcols)
+                out = leftover.withColumn("is_new", F.lit(False)).unionByName(out)
+            frontier_dir = f"{rd}/frontier"
+            io.write(out, frontier_dir, partition_by=["is_new"])
+            new_dir = f"{frontier_dir}/is_new=true"
+            m.new_links = io.row_count(new_dir)
+            if m.new_links > 0:
+                seen_names.append(new_dir)
+                seen = io.read_many(seen_names).select(F.col(seen_key).alias("url"))
             seen_count += m.new_links
+            frontier_n = io.row_count(frontier_dir)
             if bloom is not None and m.new_links > 0:
-                bloom.add_urls_distributed(new_seen.select(F.col(seen_key).alias("url")))
+                bloom.add_urls_distributed(
+                    io.read(new_dir).select(F.col(seen_key).alias("url"))
+                )
             elif self.use_bloom == "auto" and seen_count >= BLOOM_AUTO_THRESHOLD:
                 bloom = BloomShards.sized_for(max(4 * 10**6, 4 * seen_count))
                 bloom.add_urls_distributed(seen)
             m.seconds["frontier"] = round(time.time() - t0, 3)
 
-            atomic_write_json(self._manifest_path(), {"round": r, "frontier_rows": 0})
+            atomic_write_json(
+                self._manifest_path(),
+                {
+                    "round": r,
+                    "frontier_dir": frontier_dir,
+                    "frontier_rows": frontier_n,
+                    "seen_dirs": seen_names,
+                },
+            )
             if persisted_batch:
                 batch.unpersist()
-            frontier = next_frontier
-            frontier_n = frontier.count()
+            frontier = (
+                io.read(frontier_dir).select(*fcols) if frontier_n > 0 else None
+            )
             self._append_metrics(m)
             r += 1
 
@@ -712,6 +807,73 @@ class Crawler:
         }
         atomic_write_json(io.path("summary.json"), summary)
         return summary
+
+    # ---- continuous re-crawl (walker's restart semantics) ----
+    def run_loops(self, loops: int, resume: bool = False) -> list[dict]:
+        """Crawl to fixpoint ``loops`` times, restarting from the seeds
+        with a fresh seen set each time — walker's monitoring mode
+        (``scrapeloop.go:230-246``: when the frontier drains the loop's
+        results become ``CompleteStatus`` and ``restart(baseURL, paths)``
+        begins the next loop).
+
+        Each loop checkpoints under ``loop=NNN/`` (distinct snapshot
+        dirs); ``loops.json`` tracks the last *completed* loop, giving
+        the running-vs-complete split of walker's ``vo/status.go``:
+        :meth:`complete_results_df` is the last finished loop,
+        :meth:`running_results_df` the in-flight one. ``resume``
+        continues an interrupted loop round-exactly, then keeps looping.
+        """
+        root_io = ParquetTableIO(self.spark, self.io.root)
+        state = read_json(root_io.path("loops.json")) if resume else None
+        start = (state["completed"] + 1) if state else 0
+        summaries: list[dict] = (state or {}).get("summaries", [])
+        for li in range(start, loops):
+            self.io = ParquetTableIO(self.spark, root_io.path(f"loop={li:03d}"))
+            summaries.append(self.run(resume=resume and li == start))
+            atomic_write_json(
+                root_io.path("loops.json"),
+                {"completed": li, "summaries": summaries},
+            )
+        return summaries
+
+    def _loop_io(self, li: int) -> "Crawler":
+        c = object.__new__(Crawler)
+        c.__dict__ = {**self.__dict__}
+        base = self.io.root
+        if "/loop=" in base:
+            base = base.rsplit("/loop=", 1)[0]
+        c.io = ParquetTableIO(self.spark, os.path.join(base, f"loop={li:03d}"))
+        return c
+
+    def _loops_state(self) -> dict | None:
+        base = self.io.root
+        if "/loop=" in base:
+            base = base.rsplit("/loop=", 1)[0]
+        return read_json(os.path.join(base, "loops.json"))
+
+    def complete_results_df(self) -> DataFrame | None:
+        """Results of the last *completed* loop (walker's
+        ``?status=complete``); None before any loop finishes."""
+        state = self._loops_state()
+        if state is None:
+            # single-run layout: run() returns only at fixpoint, so the
+            # checkpointed results ARE the complete snapshot
+            return self.results_df() if self._round_dirs() else None
+        if state["completed"] < 0:
+            return None
+        return self._loop_io(state["completed"]).results_df()
+
+    def running_results_df(self) -> DataFrame | None:
+        """Results of the in-flight loop (walker's ``?status=running``);
+        falls back to the last complete loop when no newer loop has
+        started."""
+        state = self._loops_state()
+        if state is None:
+            return self.results_df()  # single-run layout
+        nxt = self._loop_io(state["completed"] + 1)
+        if nxt._round_dirs():
+            return nxt.results_df()
+        return self.complete_results_df()
 
     # ---- accessors over the checkpointed crawl ----
     def _round_dirs(self) -> list[str]:
@@ -744,6 +906,7 @@ class Crawler:
         return dfs
 
     def seen_df(self) -> DataFrame:
-        base = os.path.join(self.io.root, "seen")
-        names = [f"seen/{d}" for d in sorted(os.listdir(base))]
-        return self.io.read_many(names)
+        manifest = read_json(self._manifest_path())
+        if manifest is None:  # crawl never completed a round
+            return self.io.read("rounds/r=-0001/frontier")
+        return self.io.read_many(manifest["seen_dirs"])

@@ -320,7 +320,13 @@ def write_pages_tables(spark, spec: SiteSpec, out_dir: str) -> dict[str, str]:
         "url", "warc_ts", "html", "text", "lang", "host", "host_hash"
     )
     paths["pages"] = f"{out_dir}/pages.parquet"
-    pages.write.mode("overwrite").parquet(paths["pages"])
+    # Spread pages over url-keyed files: generation parallelism is
+    # per-host, which for few-host sites yields a handful of one-row-
+    # group files — capping any later scan (and the scan-side extract
+    # stage) at that file count. A real Common-Crawl table is thousands
+    # of files; mimic that shape, scaled to the site size.
+    n_files = min(256, max(8, sum(counts) // 1000))
+    pages.repartition(n_files, "url").write.mode("overwrite").parquet(paths["pages"])
 
     redirects = all_rows.filter(F.col("redirect_to") != "").select(
         F.col("url").alias("src"),
