@@ -63,6 +63,20 @@ def main():
                      "streams once, no full-table shuffle); SHUFFLE_HASH for the html "
                      "join — one batch-sized html exchange, no sort, no driver funnel.",
                      explain_str(fx_sh)))
+    from walker_spark.sources.tables import register_bucketed_table
+
+    pb = register_bucketed_table(
+        spark, f"{site}/pages_bucketed", table="pages_bucketed_plans", buckets=64
+    )
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    fx_b = fetch_and_extract(frontier, pb, None, 0, True, True, "https://x",
+                             host_prune=None, strategy="bucketed")
+    sections.append(("Fetch join, bucketed co-located strategy (pages bucketed+sorted by url)",
+                     "The 10^10-design-point plan: NO Exchange and NO BroadcastExchange on "
+                     "the pages side — the merge join consumes the bucketed url-sorted scan "
+                     "in place; only the small batch side would exchange into the bucket "
+                     "layout.",
+                     explain_str(fx_b)))
     sections.append(("Redirect resolution: pointer doubling",
                      "ceil(log2(cap+1)) self-joins resolve every chain <= cap in one lazy "
                      "plan (one job at the redirect_map write; no per-hop probe jobs).",

@@ -198,3 +198,58 @@ def test_text_analytics(spark):
     assert m[1]["n_tokens"] == 14
     assert m[1]["quality_score"] > m[5]["quality_score"]
     assert 0 <= m[1]["stopword_ratio"] <= 1
+
+
+def test_xxh64_numpy_matches_spark(spark):
+    """The vectorized minhash path relies on a numpy replica of Spark's
+    XxHash64 on LongType inputs; pin bit-exactness, including the
+    two-column fold xxhash64(h, s) = hashLong(s, hashLong(h, 42))."""
+    import numpy as np
+
+    from walker_spark.operators.dedup import _xxh64_long
+
+    vals = [0, 1, -1, 42, -9223372036854775808, 9223372036854775807, 123456789123456789]
+    seeds = [0, 1, 5, 127]
+    rows = [(v, s) for v in vals for s in seeds]
+    df = spark.createDataFrame(rows, "h long, s long")
+    got = {
+        (r["h"], r["s"]): r["x"]
+        for r in df.select("h", "s", F.xxhash64("h", "s").alias("x")).collect()
+    }
+    for v in vals:
+        t = _xxh64_long(np.array([v], dtype=np.int64).view(np.uint64), np.uint64(42))
+        for s in seeds:
+            x = _xxh64_long(np.array([s], dtype=np.int64).view(np.uint64), t)
+            assert int(x.view(np.int64)[0]) == got[(v, s)], (v, s)
+
+
+def test_minhash_buckets_signature_matches_expr(spark):
+    """The numpy bucket UDF's internal signature must equal
+    minhash_signature_expr (signed min of the same hash family):
+    verified indirectly — identical docs collide on every band, and the
+    full pair pipeline reproduces the exact-jaccard oracle (see
+    test_minhash_lsh_equals_exact); here pin the hash family by
+    comparing signatures directly for a couple of docs."""
+    import numpy as np
+
+    from walker_spark.operators.dedup import (
+        _xxh64_long,
+        minhash_signature_expr,
+        shingle_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "lorem ipsum dolor sit amet")],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        shingle_expr(F.col("text"), 3).alias("sh"),
+        minhash_signature_expr(shingle_expr(F.col("text"), 3), 16).alias("sig"),
+    ).collect()
+    seeds = np.arange(16, dtype=np.uint64)
+    for r in rows:
+        a = np.asarray(r["sh"], dtype=np.int64).view(np.uint64)[:, None]
+        t = _xxh64_long(a, np.uint64(42))
+        sig = _xxh64_long(seeds[None, :], t).view(np.int64).min(axis=0)
+        assert list(sig) == list(r["sig"]), r["doc_id"]

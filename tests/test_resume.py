@@ -3,6 +3,8 @@ k and resumed from the manifest must end with byte-equal state to an
 uninterrupted run — same seen set, same results (urls, codes, depths,
 rounds), same round count."""
 
+import os
+
 import pyspark.sql.functions as F
 
 from walker_spark.config import CrawlConfig, Target
@@ -59,3 +61,43 @@ def test_resume_exactness(spark, tmp_path):
     res_full = sorted(key(r) for r in full.results_df().collect())
     res_res = sorted(key(r) for r in resumed.results_df().collect())
     assert res_res == res_full
+
+
+def test_seen_compaction_resume_exact(spark, tmp_path):
+    """Compaction (every k rounds the seen deltas fold into one dir) must
+    not change anything observable: same rounds, same seen set, same
+    results as an uncompacted run, including across a kill/resume that
+    straddles a compaction point."""
+    spec = SiteSpec(seed=11, n_hosts=2, n_pages=80)
+    paths = write_pages_tables(spark, spec, str(tmp_path / "site"))
+    store = build_store(spec)
+
+    def mk(ckpt, max_rounds=0, compact_every=0):
+        c = _mk(spark, paths, store, ckpt, max_rounds=max_rounds)
+        c.conf.host_budget = 3  # small budget → many rounds
+        c.seen_compact_every = compact_every
+        return c
+
+    plain = mk(str(tmp_path / "plain"))
+    s_plain = plain.run()
+    assert s_plain["rounds"] >= 10  # enough rounds to compact repeatedly
+
+    compacted = mk(str(tmp_path / "compact"), compact_every=4)
+    s_c = compacted.run()
+    assert s_c["rounds"] == s_plain["rounds"]
+    assert s_c["total_fetched"] == s_plain["total_fetched"]
+    assert os.path.isdir(os.path.join(str(tmp_path / "compact"), "seen_compact"))
+
+    # kill after 6 rounds (straddles the 4-round compaction) and resume
+    part = mk(str(tmp_path / "part"), max_rounds=6, compact_every=4)
+    part.run()
+    resumed = mk(str(tmp_path / "part"), compact_every=4)
+    resumed.run(resume=True)
+
+    key = lambda r: (r["url"], r["code"], r["depth"], r["round"])  # noqa: E731
+    assert sorted(key(r) for r in resumed.results_df().collect()) == sorted(
+        key(r) for r in plain.results_df().collect()
+    )
+    assert {r["url"] for r in resumed.seen_df().collect()} == {
+        r["url"] for r in plain.seen_df().collect()
+    }

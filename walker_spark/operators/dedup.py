@@ -4,12 +4,15 @@ Four families, all shuffle-conscious:
 
 * :func:`exact_dedup` — hash-groupBy on a normalized key. One shuffle.
 * :func:`minhash_lsh_pairs` — shingle → minhash signature → LSH bands →
-  bucket self-join → exact Jaccard verify. The signature/banding is all
-  native exprs (xxhash64 with per-seed salts, aggregate/transform); the
-  only shuffles are the band groupBy and the verify join, and candidate
-  generation never materializes the O(n²) pair space.
-* :func:`simhash_pairs` — 64-bit SimHash over token hashes, Hamming ≤ r
-  via band rotation (r+1 bands: any pair within r agrees on ≥1 band).
+  bucket self-join → exact Jaccard verify. Banding runs as ONE
+  vectorized Arrow batch pass (Spark's higher-order functions are
+  CodegenFallback/interpreted — the native-expr forms are kept as
+  reference implementations); the band join carries (id, band, bucket)
+  only, candidates re-join their shingle features for the exact verify,
+  and candidate generation never materializes the O(n²) pair space.
+* :func:`simhash_pairs` — 64-bit SimHash over token hashes (hashing
+  native, the ±1 bit fold vectorized), Hamming ≤ r via band rotation
+  (r+1 bands: any pair within r agrees on ≥1 band).
 * :func:`ngram_jaccard_pairs` — exact n-gram Jaccard on candidate pairs
   (used standalone for small scopes, and as the verifier inside LSH).
 
@@ -21,14 +24,20 @@ standard guard in public LSH-dedup pipelines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "normalize_text_expr",
     "exact_dedup",
     "shingle_expr",
     "minhash_signature_expr",
+    "minhash_band_expr",
+    "minhash_buckets_udf",
+    "minhash_text_buckets_udf",
     "minhash_lsh_pairs",
     "simhash_expr",
     "simhash_pairs",
@@ -78,13 +87,180 @@ def shingle_expr(text: Column, n: int = 3) -> Column:
     )
 
 
+_MAX_LONG = (1 << 63) - 1
+
+# XXH64 primes — Spark's XxHash64 expression on a LongType input is
+# XXH64.hashLong(value, seed); replicated below in vectorized numpy
+# uint64 arithmetic, bit-exact (pinned by test_xxh64_matches_spark).
+_XP1 = np.uint64(0x9E3779B185EBCA87)
+_XP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XP3 = np.uint64(0x165667B19E3779F9)
+_XP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XP5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _xxh64_long(vals: "np.ndarray", seeds: "np.ndarray") -> "np.ndarray":
+    """Spark ``xxhash64(longCol, seed)`` for uint64 arrays; broadcasts
+    like numpy (e.g. vals (n,1) × seeds (m,) → (n,m))."""
+    h = seeds + _XP5 + np.uint64(8)
+    k1 = vals * _XP2
+    k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+    k1 = k1 * _XP1
+    h = h ^ k1
+    h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * _XP1 + _XP4
+    h ^= h >> np.uint64(33)
+    h = h * _XP2
+    h ^= h >> np.uint64(29)
+    h = h * _XP3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def minhash_text_buckets_udf(num_hashes: int, bands: int, shingle_n: int = 3):
+    """text → array<long>[bands] of LSH band-bucket ids, entirely inside
+    one Arrow batch: python-regex normalize (ASCII \\w/\\s — the same
+    classes Java and RE2 use), word n-gram windows, blake2b-derived
+    64-bit shingle hashes, then the vectorized xxh64 minhash fold.
+
+    The banding hash family differs from :func:`shingle_expr`'s xxhash64
+    (blake2b vs xxhash of the SAME window strings) — irrelevant for
+    correctness: banding only proposes candidates, collision probability
+    per band is a function of the shingle-set Jaccard either way, and
+    every candidate is exact-Jaccard verified against
+    :func:`shingle_expr` features. Native shingling costs ~8 s over the
+    sf0.1 documents (interpreted higher-order functions); this path is
+    sub-second.
+    """
+    import re
+    from hashlib import blake2b
+
+    punct = re.compile(r"[^\w\s]", re.ASCII)
+    ws = re.compile(r"\s+", re.ASCII)
+    rows_per_band = num_hashes // bands
+    seeds = np.arange(num_hashes, dtype=np.uint64)
+    band_init = np.arange(bands, dtype=np.uint64)
+
+    @pandas_udf("array<long>")
+    def buckets(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = ws.sub(" ", punct.sub(" ", (t or "").lower())).strip()
+            toks = t.split(" ") if t else []
+            if len(toks) >= shingle_n:
+                windows = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+            else:
+                windows = {" ".join(toks)}  # shingle_expr's short-doc fallback
+            hs = np.fromiter(
+                (
+                    int.from_bytes(blake2b(w.encode("utf-8"), digest_size=8).digest(), "big")
+                    for w in windows
+                ),
+                dtype=np.uint64,
+                count=len(windows),
+            )[:, None]
+            tmp = _xxh64_long(hs, np.uint64(42))
+            sig = _xxh64_long(seeds[None, :], tmp).view(np.int64).min(axis=0)
+            sl = sig.reshape(bands, rows_per_band).view(np.uint64)
+            acc = band_init.copy()
+            for i in range(rows_per_band):
+                acc = _xxh64_long(sl[:, i], acc)
+            out.append(acc.view(np.int64))
+        return pd.Series(out)
+
+    return buckets
+
+
+def minhash_buckets_udf(num_hashes: int, bands: int):
+    """array<long> shingle hashes → array<long>[bands] of LSH bucket ids,
+    one vectorized numpy pass per row (Arrow-batched). Signature values
+    (min over shingles of xxhash64(shingle, seed), SIGNED min like
+    Spark's least) are bit-identical to :func:`minhash_signature_expr`;
+    the per-band bucket id is an xxh64 fold over the band's signature
+    slice. Spark's higher-order functions are CodegenFallback
+    (interpreted), so the expression form costs ~ms/row at 128 hashes —
+    the numpy form is ~100× cheaper and keeps the band join ids-only.
+    """
+    rows_per_band = num_hashes // bands
+    seeds = np.arange(num_hashes, dtype=np.uint64)
+    band_init = np.arange(bands, dtype=np.uint64)
+
+    @pandas_udf("array<long>")
+    def buckets(shingle_arrs: pd.Series) -> pd.Series:
+        out = []
+        for arr in shingle_arrs:
+            a = np.asarray(arr, dtype=np.int64).view(np.uint64)[:, None]
+            # Spark's xxhash64(h, s) folds both columns from seed 42:
+            # hashLong(s, hashLong(h, 42)) — replicate exactly so the
+            # signature values match minhash_signature_expr bit-for-bit
+            t = _xxh64_long(a, np.uint64(42))  # (n, 1)
+            sig = _xxh64_long(seeds[None, :], t).view(np.int64).min(axis=0)
+            sl = sig.reshape(bands, rows_per_band).view(np.uint64)
+            acc = band_init.copy()
+            for i in range(rows_per_band):
+                acc = _xxh64_long(sl[:, i], acc)
+            out.append(acc.view(np.int64))
+        return pd.Series(out)
+
+    return buckets
+
+
 def minhash_signature_expr(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature: for seed s, min over shingles of
-    xxhash64(shingle, salt_s). array<long>[num_hashes]."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(shingles, lambda h: F.xxhash64(h, s))
+    xxhash64(shingle, salt_s). array<long>[num_hashes].
+
+    Single ``aggregate`` fold, NOT transform-of-array_min: the
+    accumulator is a runtime value, so the (expensive) ``shingles``
+    input expression evaluates exactly once per row. The naive nested
+    form re-evaluates whatever expression ``shingles`` is once per
+    outer-lambda iteration after Catalyst's CollapseProject inlines it
+    — measured 20× slower on the documents table.
+    """
+    seeds = F.sequence(F.lit(0).cast("long"), F.lit(num_hashes - 1).cast("long"))
+    init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes)
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(seeds, lambda s: F.xxhash64(h, s)),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
+def minhash_band_expr(
+    shingles: Column, num_hashes: int, bands: int
+) -> Column:
+    """Band bucket hashes array<long>[bands], computed in the same
+    single ``aggregate`` pass as the signature (the banding runs in the
+    fold's ``finish`` lambda over the materialized accumulator, so the
+    signature is never re-evaluated per band). Bucket values are
+    identical to hashing the sliced signature directly."""
+    rows_per_band = num_hashes // bands
+    seeds = F.sequence(F.lit(0).cast("long"), F.lit(num_hashes - 1).cast("long"))
+    init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes)
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(seeds, lambda s: F.xxhash64(h, s)),
+            lambda a, b: F.least(a, b),
+        ),
+        lambda acc: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(acc, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ),
         ),
     )
 
@@ -103,34 +279,18 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        shingle_expr(F.col(text_col), shingle_n).alias("shingles"),
-    ).withColumn("sig", minhash_signature_expr(F.col("shingles"), num_hashes))
-
     # The band explode + bucket self-join carry (id, band, bucket) ONLY —
     # never the shingle arrays. Shuffle volume is `bands` small ints per
     # doc instead of `bands` copies of the document's feature payload
     # (at 100 TB the payload-through-bands shuffle dominates everything
     # else in the pipeline). Shingles re-join below, computed only for
-    # docs that actually appear in a candidate pair.
-    banded = base.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "bucket"),
+    # docs that actually appear in a candidate pair. Shingling +
+    # signature + banding run as one vectorized pass per Arrow batch
+    # (minhash_text_buckets_udf).
+    buckets = minhash_text_buckets_udf(num_hashes, bands, shingle_n)
+    banded = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(buckets(F.col(text_col))).alias("band", "bucket"),
     )
     # cap mega-buckets (skew guard): keep the max_bucket smallest ids
     from pyspark.sql import Window
@@ -146,6 +306,10 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # candidates are consumed three times below (cand_ids + two
+        # feature joins); persist so the banding pipeline — the
+        # expensive 128-hash signature pass — executes exactly once
+        .persist()
     )
     # exact-Jaccard verify: shingle only the candidate docs (semi-join
     # prunes the scan before the expensive shingle projection runs)
@@ -223,9 +387,33 @@ def simhash_pairs(
     """
     segs = max_hamming + 1
     seg_bits = 64 // segs
+
+    # token hashing stays native (xxhash64 over strings is JVM-only);
+    # the ±1 bit-vector fold runs as one numpy pass per row — identical
+    # output strings to simhash_expr, which folds through interpreted
+    # higher-order functions at ~64 lambda evals per token.
+    toks = F.filter(
+        F.split(normalize_text_expr(F.col(text_col)), " "), lambda s: s != F.lit("")
+    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    @pandas_udf("string")
+    def sim_udf(hash_arrs: pd.Series) -> pd.Series:
+        shifts = np.arange(63, -1, -1, dtype=np.uint64)  # MSB first
+        out = []
+        for arr in hash_arrs:
+            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if len(a) == 0:
+                out.append("0" * 64)
+                continue
+            bits = ((a[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            sums = (2 * bits - 1).sum(axis=0)
+            out.append("".join("1" if v > 0 else "0" for v in sums))
+        return pd.Series(out)
+
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
-        simhash_expr(F.col(text_col)).alias("sim"),
+        sim_udf(hashes).alias("sim"),
     )
     banded = base.select(
         "id",

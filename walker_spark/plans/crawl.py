@@ -523,6 +523,7 @@ class Crawler:
         host_prune: str | None = "auto",
         fetch_strategy: str = "auto",
         seeds_unique: bool = False,
+        seen_compact_every: int = 16,
     ):
         """Hooks mirror walker's extension points (SURVEY.md §2.10):
         ``scrape_func(html) -> json-able`` (ScrapeFunc),
@@ -550,6 +551,7 @@ class Crawler:
         self.host_prune = host_prune
         self.fetch_strategy = fetch_strategy
         self.seeds_unique = seeds_unique
+        self.seen_compact_every = seen_compact_every
         self.metrics: list[RoundMetrics] = []
 
     # ---- fail-start (scrapeloop.go:281-289) ----
@@ -768,6 +770,17 @@ class Crawler:
             m.new_links = io.row_count(new_dir)
             if m.new_links > 0:
                 seen_names.append(new_dir)
+                # compaction: per-round delta dirs grow the seen table's
+                # file count O(rounds); every k rounds fold them into one
+                # directory (content-identical union rewrite) so the
+                # anti-join scan and resume read a bounded file set
+                if (
+                    self.seen_compact_every > 0
+                    and len(seen_names) >= self.seen_compact_every
+                ):
+                    cname = f"seen_compact/r={r:05d}"
+                    io.write(io.read_many(seen_names).select(*fcols), cname)
+                    seen_names = [cname]
                 seen = io.read_many(seen_names).select(F.col(seen_key).alias("url"))
             seen_count += m.new_links
             frontier_n = io.row_count(frontier_dir)
