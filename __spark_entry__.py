@@ -666,6 +666,65 @@ def _langid_sql() -> str:
     """
 
 
+def _ann_ivf_sql() -> str:
+    """DuckDB replica of operators/similarity.ivf_cosine_topk with the
+    Lloyd iterations unrolled as CTEs (init = first 16 vectors by id;
+    3 iterations of assign-argmax-cosine / per-dim mean, empty cells
+    keeping their previous centroid; ties to the lowest cell index —
+    Spark's array_position-of-array_max). Float caveat: Spark's avg and
+    DuckDB's avg may differ in the last ulp; an assignment flip would
+    need two cell cosines within ~1e-15, which the synthetic embeddings
+    never produce."""
+    n_cells, n_probe, iters, k = 16, 6, 3, 10
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v "
+        f"FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_cells}))",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts += [
+            f"a{i} AS (SELECT vec_id, cell FROM ("
+            f"  SELECT e.vec_id, {prev}.cell, row_number() OVER ("
+            f"    PARTITION BY e.vec_id"
+            f"    ORDER BY list_cosine_similarity(e.v, {prev}.v) DESC, {prev}.cell ASC"
+            f"  ) AS r FROM e CROSS JOIN {prev}) WHERE r = 1)",
+            f"x{i} AS (SELECT a.cell, generate_subscripts(e.v, 1) AS idx, unnest(e.v) AS val "
+            f"FROM a{i} a JOIN e USING (vec_id))",
+            f"m{i} AS (SELECT cell, list(mx ORDER BY idx) AS v FROM ("
+            f"  SELECT cell, idx, avg(val) AS mx FROM x{i} GROUP BY cell, idx) GROUP BY cell)",
+            f"c{i} AS (SELECT {prev}.cell, COALESCE(m.v, {prev}.v) AS v "
+            f"FROM {prev} LEFT JOIN m{i} m USING (cell))",
+        ]
+        prev = f"c{i}"
+    parts += [
+        f"cells AS (SELECT vec_id, cell FROM ("
+        f"  SELECT e.vec_id, {prev}.cell, row_number() OVER ("
+        f"    PARTITION BY e.vec_id"
+        f"    ORDER BY list_cosine_similarity(e.v, {prev}.v) DESC, {prev}.cell ASC"
+        f"  ) AS r FROM e CROSS JOIN {prev}) WHERE r = 1)",
+        f"probes AS (SELECT query_id, cell FROM ("
+        f"  SELECT q.vec_id AS query_id, {prev}.cell, row_number() OVER ("
+        f"    PARTITION BY q.vec_id"
+        f"    ORDER BY list_cosine_similarity(q.v, {prev}.v) DESC, {prev}.cell ASC"
+        f"  ) AS r FROM e q CROSS JOIN {prev} WHERE q.vec_id < 5) WHERE r <= {n_probe})",
+        "cand AS (SELECT p.query_id, s.vec_id AS neighbor_id "
+        "FROM probes p JOIN cells s USING (cell) WHERE s.vec_id <> p.query_id)",
+        "scored AS (SELECT cand.query_id, cand.neighbor_id, "
+        "round(round(list_cosine_similarity(qe.v, ce.v), 6), 4) AS cos, "
+        "row_number() OVER (PARTITION BY cand.query_id "
+        "ORDER BY round(list_cosine_similarity(qe.v, ce.v), 6) DESC, cand.neighbor_id ASC) AS rank "
+        "FROM cand JOIN e qe ON qe.vec_id = cand.query_id "
+        "JOIN e ce ON ce.vec_id = cand.neighbor_id)",
+    ]
+    ctes = ",\n        ".join(parts)
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT query_id, neighbor_id, cos, rank FROM scored "
+        f"WHERE rank <= {k} ORDER BY query_id, rank"
+    )
+
+
 def _ann_lsh_sql() -> str:
     """DuckDB replica of operators/similarity.lsh_cosine_topk with the
     seed-42 hyperplanes embedded as literals (bands=16, rows_per_band=6,
@@ -1015,9 +1074,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_langid": _langid_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         # no oracle (non-SQL-expressible → driver rows-only check):
-        # dedup_simhash + text_fingerprint key on Spark's xxhash64 (no
-        # DuckDB equivalent); ann_ivf_topk's centroids come from
-        # distributed Lloyd iterations whose float-sum order a SQL
-        # replica cannot reproduce bit-exactly.
+        # dedup_simhash + text_fingerprint key on Spark's xxhash64 over
+        # strings, which has no DuckDB equivalent.
     }

@@ -163,15 +163,29 @@ def ivf_cosine_topk(
     n_cells = len(centroids)
     n_probe = min(n_probe, n_cells)
 
+    def _cell_cos_udf(cents: list[list[float]]):
+        """vec → array<double> of cosines against every centroid, one
+        numpy matmul per Arrow batch (the expression form — an array of
+        `aggregate` dot products — runs interpreted at ~ms/row; see
+        _band_buckets_udf)."""
+        C = np.asarray(cents, dtype=np.float64)
+        Cn = np.linalg.norm(C, axis=1)
+
+        @pandas_udf("array<double>")
+        def cell_cos(vecs: pd.Series) -> pd.Series:
+            V = np.vstack(vecs.to_numpy())
+            Vn = np.linalg.norm(V, axis=1)
+            denom = np.outer(Vn, Cn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, (V @ C.T) / denom, 0.0)
+            return pd.Series(list(cos))
+
+        return cell_cos
+
     def assign_expr(vec: Column, cents: list[list[float]]) -> Column:
-        # argmax cosine over the broadcast centroid list. NB: chaining
-        # when(best_cos < cos_i) rebuilds the running best expression
-        # inside each branch — exponential expression-tree growth. An
-        # array of independent cosine exprs + array_position(array_max)
-        # stays linear in n_cells.
-        cos_arr = F.array(
-            *[cosine_expr(vec, F.array(*[F.lit(x) for x in cent])) for cent in cents]
-        )
+        # argmax cosine, ties to the lowest cell index (numpy argmax
+        # returns the first maximum — same as array_position(array_max))
+        cos_arr = _cell_cos_udf(cents)(vec)
         return (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
 
     for _ in range(kmeans_iters):
@@ -191,20 +205,13 @@ def ivf_cosine_topk(
     cells = c.withColumn("cell", assign_expr(F.col("c_vec"), centroids))
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    # per query: its n_probe nearest cells (small n_cells → rank natively)
-    probe_rows = []
-    for i, cent in enumerate(centroids):
-        probe_rows.append(
-            q.select(
-                "query_id",
-                "q_vec",
-                F.lit(i).alias("cell"),
-                cosine_expr(F.col("q_vec"), F.array(*[F.lit(x) for x in cent])).alias("ccos"),
-            )
-        )
-    probes = probe_rows[0]
-    for p in probe_rows[1:]:
-        probes = probes.unionByName(p)
+    # per query: its n_probe nearest cells (cell = position in the
+    # exploded per-centroid cosine array)
+    probes = q.select(
+        "query_id",
+        "q_vec",
+        F.posexplode(_cell_cos_udf(centroids)(F.col("q_vec"))).alias("cell", "ccos"),
+    )
     wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
     probes = (
         probes.withColumn("_r", F.row_number().over(wq))
