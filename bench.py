@@ -311,19 +311,36 @@ def main():
         # is visible in the output.
         retry_below = float(os.environ.get("SPARK_GRAFT_SCALE_RETRY_BELOW", "0.8"))
         max_passes = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "3"))
+        retry_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "240"))
         pair: dict = {}
+        probes: list = []
+        t_end = None
         for _ in range(max_passes):
+            probes.append(_cpu_probe(lo_cores, hi_cores))
             for c in (lo_cores, hi_cores):
                 r = _kernel_subprocess(c, kpaths)
                 if c not in pair or r["urls_per_sec"] > pair[c]["urls_per_sec"]:
                     pair[c] = r
-            if pair_eff(pair) >= retry_below:
+            if t_end is None:
+                t_end = time.time() + retry_budget
+            if pair_eff(pair) >= retry_below or time.time() > t_end:
                 break
+            # a failing pass during a throttled window is expected — the
+            # probe is an independent instrument for the same confound
+            # (raw-CPU burn scaling < 0.9 means the hypervisor, not the
+            # plan, is eating the hi-core run). Wait for a quieter
+            # window before spending another pass.
+            while time.time() < t_end:
+                p = _cpu_probe(lo_cores, hi_cores)
+                probes.append(p)
+                if p["burn_scaling"] >= 0.9:
+                    break
+                time.sleep(15)
         for c in (lo_cores, hi_cores):
             out["kernel"][f"local[{c}]"] = pair[c]
         out["scaling_efficiency"] = round(pair_eff(pair), 3)
         out["scaling_pair"] = [lo_cores, hi_cores]
-        out["cpu_probe"] = _cpu_probe(lo_cores, hi_cores)
+        out["cpu_probes"] = probes
 
     out["metric"] = (
         "walker_spark bench: URLs scheduled+fetched/s — full BSP crawl @ "
