@@ -467,6 +467,22 @@ def q_text_token_counts(spark, sf):
     )
 
 
+def q_text_bpe_tokens(spark, sf):
+    from walker_spark.functions.text import token_count_expr
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("n_bpe", token_count_expr(F.col("text"), mode="bpe").cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_text_quality(spark, sf):
     from walker_spark.functions.text import quality_metrics
 
@@ -577,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "text_token_counts": q_text_token_counts,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -1071,6 +1088,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.35
             ORDER BY id_a, id_b
+        """,
+        "text_bpe_tokens": r"""
+            WITH t AS (
+              SELECT lang,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+(?:''[a-z]+)?|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+                   round(avg(n_bpe), 4) AS avg_bpe_tokens
+            FROM t GROUP BY lang ORDER BY lang
         """,
         "text_langid": _langid_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
