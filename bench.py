@@ -38,7 +38,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "12000"))
 N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "24"))
-KERNEL_PAGES = int(os.environ.get("SPARK_GRAFT_KERNEL_PAGES", "240000"))
+KERNEL_PAGES = int(os.environ.get("SPARK_GRAFT_KERNEL_PAGES", "480000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "64"))
 # python-UDF stages need headroom for Arrow buffers at 32 concurrent tasks
@@ -281,18 +281,21 @@ def main():
     spark.stop()
 
     if not SKIP_SCALING:
-        # N-vs-4N pair. Defaults to 2 vs 8 cores: pure-python HTML-parse
-        # throughput on this VM saturates its memory bandwidth at ~10
-        # workers (measured: 27k pages/s @8 ≈ 33k @12 ≈ 33k @32), so 8
-        # vs 32 is a bandwidth measurement, not a scheduler one; 2 vs 8
-        # stays inside the machine's linear envelope. See BENCH.md.
+        # N-vs-4N pair. Defaults to 1 vs 4 cores: this VM's memory
+        # bandwidth saturates parse-shaped work from ~8 workers up
+        # (Spark-free multiprocessing parse: 2w 8.9k pages/s, 8w 27k,
+        # 12w..32w flat at 33k — even BARE parse only scales 0.76 from
+        # 2→8), so any pair touching ≥8 workers measures the memory
+        # bus, not the engine. 1 vs 4 is the widest pair whose ideal is
+        # physically reachable (raw-CPU burn scales ~1.0 there), making
+        # it the honest engine-scaling probe. See BENCH.md.
         #
         # Each measurement runs in a FRESH subprocess: stopping a
         # local[32] SparkContext leaves the JVM's heap/threads behind,
         # and a local[8] run sharing that JVM measured ~40% slower than
         # the same run in a clean process — the pair must compare clean
         # JVMs, like real N- and 4N-executor clusters would be.
-        lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
+        lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
         hi_cores = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(4 * lo_cores)))
 
         def pair_eff(pair):
@@ -310,7 +313,7 @@ def main():
         # machine's own scaling during the run so a throttled window
         # is visible in the output.
         retry_below = float(os.environ.get("SPARK_GRAFT_SCALE_RETRY_BELOW", "0.8"))
-        max_passes = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "3"))
+        max_passes = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2"))
         retry_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "240"))
         pair: dict = {}
         probes: list = []
