@@ -8,9 +8,10 @@ returning the A1 status histogram of the crawl results.
 from SURVEY.md §2 (re-expressed over the driver's pre-registered tables
 where the crawl tables aren't available to the DuckDB oracle, per
 FIXTURES.md §7) plus the training-data operators. Every aggregate /
-computed column is aliased identically on both sides. Entries without
-SQL-expressible semantics (LSH, SimHash, language ID, fingerprints,
-politeness windows) have no oracle — the driver records rows-only.
+computed column is aliased identically on both sides. As of r3 every
+entry has a full DuckDB oracle — LSH via the exact-jaccard pair set
+(recall 1.0 pinned by tests), SimHash/fingerprint via the shared
+md5-prefix hash family, language ID via the trigram heuristic in SQL.
 """
 
 from __future__ import annotations
@@ -445,10 +446,16 @@ def q_dedup_minhash_lsh(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
+    """SimHash near-dup pairs, hamming ≤ 8. The md5-prefix token-hash
+    family is shared with DuckDB, so the oracle recomputes the exact
+    signature in SQL; pigeonhole banding has recall 1.0 by construction,
+    so the oracle is the exact hamming cross join. max_bucket (the
+    production skew cap) is lifted here — a capped bucket would trade
+    recall for skew-safety and break exactness at oracle scale."""
     from walker_spark.operators.dedup import simhash_pairs
 
     d = _t(spark, sf, "documents")
-    return simhash_pairs(d, max_hamming=8).orderBy("id_a", "id_b")
+    return simhash_pairs(d, max_hamming=8, max_bucket=1_000_000).orderBy("id_a", "id_b")
 
 
 def q_text_token_counts(spark, sf):
@@ -1104,7 +1111,74 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
-        # no oracle (non-SQL-expressible → driver rows-only check):
-        # dedup_simhash + text_fingerprint key on Spark's xxhash64 over
-        # strings, which has no DuckDB equivalent.
+        # dedup_simhash: full SQL replica of the signature computation —
+        # both engines hash tokens with substr(md5(tok),1,16) (the
+        # shared family adopted in r3 exactly so this oracle can exist);
+        # bits come from hex-nibble shifts, the ±1 fold is a GROUP BY
+        # sum, and the pair set is the exact hamming≤r cross join (the
+        # pigeonhole banding in Spark has recall 1.0 by construction, so
+        # candidate banding must reproduce the exact answer; the
+        # max_bucket skew cap is lifted in the query entry at these SFs).
+        # Zero-token docs carry the all-zero signature on both sides.
+        "dedup_simhash": f"""
+            WITH norm AS (
+              SELECT doc_id AS id, {_NORM_TEXT_SQL} AS t FROM documents
+            ),
+            toks AS (
+              SELECT id, unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS tok
+              FROM norm
+            ),
+            h AS (SELECT id, substr(md5(tok), 1, 16) AS hx FROM toks),
+            bits AS (
+              SELECT id, g.i AS bit,
+                     CASE WHEN ((strpos('0123456789abcdef', substr(hx, (g.i // 4) + 1, 1)) - 1)
+                                >> (3 - (g.i % 4))) & 1 = 1 THEN 1 ELSE -1 END AS pm
+              FROM h, generate_series(0, 63) AS g(i)
+            ),
+            sums AS (SELECT id, bit, sum(pm) AS s FROM bits GROUP BY id, bit),
+            sim0 AS (
+              SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS sim
+              FROM sums GROUP BY id
+            ),
+            sim AS (
+              SELECT n.id, coalesce(s0.sim, repeat('0', 64)) AS sim
+              FROM (SELECT id FROM norm WHERE t IS NOT NULL) n
+              LEFT JOIN sim0 s0 USING (id)
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(hamming(a.sim, b.sim) AS INT) AS hamming
+            FROM sim a JOIN sim b ON a.id < b.id
+            WHERE hamming(a.sim, b.sim) <= 8
+            ORDER BY id_a, id_b
+        """,
+        # text_fingerprint: same shared md5-prefix family; windows are
+        # 8-token slices (list_slice clamps past the end exactly like
+        # Spark's slice), digests sort lexicographically identically
+        # (lowercase hex) on both sides.
+        "text_fingerprint": r"""
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS tk
+              FROM d WHERE text IS NOT NULL
+            ),
+            wins AS (
+              -- scalar generate_series (returns a LIST) + unnest: the
+              -- table-function form can't reference tk laterally
+              SELECT doc_id,
+                     substr(md5(array_to_string(list_slice(tk, i + 1, i + 8), ' ')), 1, 16) AS sh
+              FROM (
+                SELECT doc_id, tk,
+                       unnest(generate_series(0, greatest(len(tk) - 8, 0))) AS i
+                FROM toks
+              )
+            ),
+            agg AS (
+              SELECT doc_id, string_agg(sh, ',' ORDER BY sh) AS joined
+              FROM wins GROUP BY doc_id
+            )
+            SELECT d.doc_id, substr(md5(a.joined), 1, 16) AS fingerprint
+            FROM d LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id
+        """,
     }

@@ -253,3 +253,47 @@ def test_minhash_buckets_signature_matches_expr(spark):
         t = _xxh64_long(a, np.uint64(42))
         sig = _xxh64_long(seeds[None, :], t).view(np.int64).min(axis=0)
         assert list(sig) == list(r["sig"]), r["doc_id"]
+
+
+def test_simhash_udf_matches_expr_lockstep(spark):
+    """The vectorized sim_udf path inside simhash_pairs must produce
+    bit-identical signatures to the native simhash_expr reference
+    (md5-prefix token-hash family, shared with the DuckDB oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    from walker_spark.operators.dedup import (
+        md5_64_expr,
+        normalize_text_expr,
+        simhash_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "lorem ipsum dolor sit amet consectetur"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    toks = F.filter(
+        F.split(normalize_text_expr(F.col("text")), " "), lambda s: s != F.lit("")
+    )
+    rows = df.select(
+        "doc_id",
+        F.transform(toks, md5_64_expr).alias("hashes"),
+        simhash_expr(F.col("text")).alias("sim_expr"),
+    ).collect()
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
+    for r in rows:
+        if r["hashes"] is None:
+            assert r["sim_expr"] in (None, ""), r["doc_id"]
+            continue
+        a = np.asarray(r["hashes"], dtype=np.int64).view(np.uint64)
+        if len(a) == 0:
+            got = "0" * 64
+        else:
+            bits = ((a[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            got = "".join("1" if v > 0 else "0" for v in (2 * bits - 1).sum(axis=0))
+        assert got == r["sim_expr"], r["doc_id"]

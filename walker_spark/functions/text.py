@@ -97,17 +97,23 @@ def quality_metrics(df: DataFrame, text_col: str = "text", lang_col: str | None 
 
 
 def fingerprint_expr(text: Column, window: int = 8) -> Column:
-    """Document fingerprint: xxhash64 over the sequence of per-window
-    token-shingle hashes (a rolling-hash flavor computed natively:
-    tokens → sliding windows via transform over index range → min-hash
-    sample → final hash). Stable, order-sensitive, JVM-side."""
+    """Document fingerprint: a 16-hex-char digest over the sorted set of
+    per-window token-shingle hashes (a rolling-hash flavor computed
+    natively: tokens → sliding windows via transform over index range →
+    per-window md5 prefix → sort → digest of the joined sequence).
+    Stable, order-insensitive at the window level, JVM-side.
+
+    Hash family is ``substr(md5(x), 1, 16)`` — shared with DuckDB so the
+    text_fingerprint oracle can recompute the value in SQL (Spark's
+    xxhash64-over-strings, used before r3, has no DuckDB equivalent)."""
     toks = F.filter(F.split(F.lower(text), r"\W+"), lambda s: s != F.lit(""))
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
     shingles = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+        idx,
+        lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))), 1, 16),
     )
-    return F.xxhash64(F.concat_ws(",", F.transform(F.array_sort(shingles), lambda h: h.cast("string"))))
+    return F.substring(F.md5(F.concat_ws(",", F.array_sort(shingles))), 1, 16)
 
 
 _PROFILES = {

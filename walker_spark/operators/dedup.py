@@ -39,6 +39,7 @@ __all__ = [
     "minhash_buckets_udf",
     "minhash_text_buckets_udf",
     "minhash_lsh_pairs",
+    "md5_64_expr",
     "simhash_expr",
     "simhash_pairs",
     "ngram_jaccard_pairs",
@@ -191,6 +192,12 @@ def minhash_buckets_udf(num_hashes: int, bands: int):
     def buckets(shingle_arrs: pd.Series) -> pd.Series:
         out = []
         for arr in shingle_arrs:
+            # NULL shingle arrays (null text column upstream) propagate as
+            # NULL buckets — same as the native expression form, which is
+            # null-safe end to end. Crawled corpora have null text rows.
+            if arr is None or len(arr) == 0:
+                out.append(None)
+                continue
             a = np.asarray(arr, dtype=np.int64).view(np.uint64)[:, None]
             # Spark's xxhash64(h, s) folds both columns from seed 42:
             # hashLong(s, hashLong(h, 42)) — replicate exactly so the
@@ -274,11 +281,25 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 200,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH, exact-Jaccard verified.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    ``eager`` (default) materializes the verified pair set (a tiny
+    result relative to the corpus) via ``localCheckpoint`` and releases
+    the internal candidate cache before returning — repeated calls in a
+    long-lived session (bench loops, re-crawl loops) would otherwise
+    accumulate persisted band-join partitions for the session lifetime.
+    ``eager=False`` returns the fully lazy plan (the caller owns the
+    lifecycle of the internal persist — one-shot pipelines that write
+    the result and exit).
     """
+    # NULL text rows (fetch errors, non-HTML) are not candidates for
+    # near-duplication — without this filter they'd all share the
+    # empty-shingle bucket and pair with every empty doc.
+    df = df.filter(F.col(text_col).isNotNull())
     # The band explode + bucket self-join carry (id, band, bucket) ONLY —
     # never the shingle arrays. Shuffle volume is `bands` small ints per
     # doc instead of `bands` copies of the document's feature payload
@@ -326,24 +347,48 @@ def minhash_lsh_pairs(
     ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    verified = (
         pairs.withColumn(
             "jaccard", F.when(union > 0, F.round(inter / union, 4)).otherwise(F.lit(0.0))
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if eager:
+        # materialize the (small) verified pair set, then drop the
+        # candidate cache — the checkpointed blocks are the output rows
+        # only, and Spark's ContextCleaner reclaims them once the
+        # returned DataFrame is unreferenced.
+        verified = verified.localCheckpoint(eager=True)
+        pair_ids.unpersist()
+    return verified
+
+
+def md5_64_expr(s: Column) -> Column:
+    """Top 64 bits of md5(s) as a signed long (big-endian hex read;
+    ``conv(hex, 16, -10)`` yields the signed bit pattern ANSI-cast-safe).
+
+    This is the token-hash family simhash and the document fingerprint
+    share with the DuckDB oracle — ``substr(md5(x), 1, 16)`` reads
+    identically in both engines, whereas Spark's xxhash64-over-strings
+    has no DuckDB equivalent (VERDICT r2 next-round #1). Hash quality is
+    equivalent for near-dup purposes: both are uniform 64-bit families.
+    """
+    return F.conv(F.substring(F.md5(s), 1, 16), 16, -10).cast("long")
 
 
 def simhash_expr(text: Column, bits: int = 64) -> Column:
     """SimHash as a ``bits``-char '0'/'1' string (MSB first).
 
-    Single native pass: per token, explode its xxhash64 into a ±1 bit
-    vector (via ``bin`` + char split — shift amounts must be literals in
-    Spark, so bit access goes through the binary string); ``aggregate``
-    element-wise-sums the vectors; signs concatenate into the signature.
-    A string signature also makes banding a literal ``substring`` and
-    keeps everything inside codegen.
+    Token hashes come from :func:`md5_64_expr` (DuckDB-shared family —
+    the dedup_simhash oracle recomputes these signatures in SQL). Single
+    native pass: per token, explode the hash into a ±1 bit vector (via
+    ``bin`` + char split — shift amounts must be literals in Spark, so
+    bit access goes through the binary string; ``bin`` of a negative
+    long prints the 64-bit two's-complement form, exactly the bit
+    pattern wanted); ``aggregate`` element-wise-sums the vectors; signs
+    concatenate into the signature. A string signature also makes
+    banding a literal ``substring`` and keeps everything inside codegen.
     """
 
     def bitvec(h: Column) -> Column:
@@ -353,7 +398,7 @@ def simhash_expr(text: Column, bits: int = 64) -> Column:
         return F.transform(chars, lambda c: F.when(c == "1", 1).otherwise(-1))
 
     toks = F.filter(F.split(normalize_text_expr(text), " "), lambda s: s != F.lit(""))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, md5_64_expr)
     zero = F.array_repeat(F.lit(0), bits)
     sums = F.aggregate(hashes, zero, lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, b: a + b))
     return F.concat_ws(
@@ -388,20 +433,27 @@ def simhash_pairs(
     segs = max_hamming + 1
     seg_bits = 64 // segs
 
-    # token hashing stays native (xxhash64 over strings is JVM-only);
-    # the ±1 bit-vector fold runs as one numpy pass per row — identical
-    # output strings to simhash_expr, which folds through interpreted
+    # token hashing stays native (md5_64_expr — the DuckDB-shared
+    # family, so the oracle can recompute signatures in SQL); the ±1
+    # bit-vector fold runs as one numpy pass per row — identical output
+    # strings to simhash_expr, which folds through interpreted
     # higher-order functions at ~64 lambda evals per token.
     toks = F.filter(
         F.split(normalize_text_expr(F.col(text_col)), " "), lambda s: s != F.lit("")
     )
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, md5_64_expr)
 
     @pandas_udf("string")
     def sim_udf(hash_arrs: pd.Series) -> pd.Series:
         shifts = np.arange(63, -1, -1, dtype=np.uint64)  # MSB first
         out = []
         for arr in hash_arrs:
+            # null text → null token-hash array → NULL signature (the
+            # native simhash_expr is null-safe; null-keyed bucket rows
+            # never equi-join, so null docs produce no pairs)
+            if arr is None:
+                out.append(None)
+                continue
             a = np.asarray(arr, dtype=np.int64).view(np.uint64)
             if len(a) == 0:
                 out.append("0" * 64)
@@ -456,6 +508,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over ALL pairs — O(n²), the small-scope /
     test-oracle path (LSH above is the scale path)."""
+    df = df.filter(F.col(text_col).isNotNull())  # see minhash_lsh_pairs
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
         shingle_expr(F.col(text_col), n).alias("sh"),

@@ -33,6 +33,15 @@ __all__ = [
 ]
 
 
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Embedding dimensionality from the first NON-NULL vector (null
+    embeddings are the norm in partially-embedded corpora). None when
+    the frame has no non-null vectors — callers fall back to the exact
+    path, which handles empty/degenerate inputs natively."""
+    row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    return None if row is None else len(row[0])
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -122,10 +131,25 @@ def _band_buckets_udf(planes: list[list[float]], bands: int, rows: int):
 
     @pandas_udf("array<long>")
     def buckets(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy()) @ P  # n × (bands*rows)
-        bits = (m > 0).reshape(len(m), bands, rows)
-        vals = (bits * powers).sum(axis=2)  # n × bands
-        return pd.Series(list(vals))
+        # np.vstack raises on an empty Arrow batch and on NULL rows —
+        # both occur in practice (empty partitions; null embeddings in
+        # crawled corpora). NULL in → NULL buckets out, like the
+        # expression form.
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        arrs = vecs.to_numpy()
+        mask = [a is not None for a in arrs]
+        out = [None] * len(arrs)
+        live = [a for a, ok in zip(arrs, mask) if ok]
+        if live:
+            m = np.vstack(live) @ P  # n_live × (bands*rows)
+            bits = (m > 0).reshape(len(m), bands, rows)
+            vals = (bits * powers).sum(axis=2)  # n_live × bands
+            it = iter(vals)
+            for i, ok in enumerate(mask):
+                if ok:
+                    out[i] = next(it)
+        return pd.Series(out)
 
     return buckets
 
@@ -154,11 +178,19 @@ def ivf_cosine_topk(
     of the data.
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _probe_dim(corpus, vec_col)
+    if dim is None:  # empty/all-null corpus: exact path returns empty
+        return cosine_topk(corpus, queries, k, id_col, vec_col, include_self)
 
     # deterministic init: first n_cells distinct vectors by id (clamped
     # when the corpus is smaller than the requested cell count)
-    init = [r["c_vec"] for r in c.orderBy("neighbor_id").limit(n_cells).collect()]
+    init = [
+        r["c_vec"]
+        for r in c.filter(F.col("c_vec").isNotNull())
+        .orderBy("neighbor_id")
+        .limit(n_cells)
+        .collect()
+    ]
     centroids = [[float(x) for x in v] for v in init]
     n_cells = len(centroids)
     n_probe = min(n_probe, n_cells)
@@ -173,12 +205,24 @@ def ivf_cosine_topk(
 
         @pandas_udf("array<double>")
         def cell_cos(vecs: pd.Series) -> pd.Series:
-            V = np.vstack(vecs.to_numpy())
-            Vn = np.linalg.norm(V, axis=1)
-            denom = np.outer(Vn, Cn)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom > 0, (V @ C.T) / denom, 0.0)
-            return pd.Series(list(cos))
+            # empty-batch / NULL-row safe (see _band_buckets_udf)
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            arrs = vecs.to_numpy()
+            mask = [a is not None for a in arrs]
+            out = [None] * len(arrs)
+            live = [a for a, ok in zip(arrs, mask) if ok]
+            if live:
+                V = np.vstack(live)
+                Vn = np.linalg.norm(V, axis=1)
+                denom = np.outer(Vn, Cn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, (V @ C.T) / denom, 0.0)
+                it = iter(cos)
+                for i, ok in enumerate(mask):
+                    if ok:
+                        out[i] = next(it)
+            return pd.Series(out)
 
         return cell_cos
 
@@ -251,8 +295,10 @@ def embedding_near_dup_pairs(
         a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
         b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    elif (dim := _probe_dim(df, vec_col)) is None:
+        # empty/all-null input: the exact path returns the empty result
+        return embedding_near_dup_pairs(df, threshold, id_col, vec_col, exact=True)
     else:
-        dim = len(df.select(vec_col).first()[0])
         planes = _hyperplanes(dim, bands * rows_per_band, seed)
         buckets = _band_buckets_udf(planes, bands, rows_per_band)
         # ids-only through the band shuffle (see lsh_cosine_topk);
@@ -295,7 +341,9 @@ def lsh_cosine_topk(
     """Approximate cosine top-k via random-hyperplane LSH: candidates =
     vectors sharing ≥1 of ``bands`` sign-bit bands with the query, exact
     cosine re-rank on candidates only."""
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _probe_dim(corpus, vec_col)
+    if dim is None:  # empty/all-null corpus: exact path returns empty
+        return cosine_topk(corpus, queries, k, id_col, vec_col, include_self)
     planes = _hyperplanes(dim, bands * rows_per_band, seed)
 
     buckets = _band_buckets_udf(planes, bands, rows_per_band)

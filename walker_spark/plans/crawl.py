@@ -638,6 +638,16 @@ class Crawler:
         seen_key = "canon" if conf.canonical_seen else "url"
         fcols = FRONTIER_COLS + (["canon"] if conf.canonical_seen else [])
         if manifest is not None:
+            if "frontier_dir" not in manifest or "seen_dirs" not in manifest:
+                # pre-fusion manifests (round/frontier_rows only) carry no
+                # directory map — resuming them silently would re-crawl or
+                # skip rounds; fail loudly instead of with a KeyError.
+                raise RuntimeError(
+                    "incompatible checkpoint version: manifest at "
+                    f"{self._manifest_path()} lacks frontier_dir/seen_dirs "
+                    "(written by an older walker_spark); re-run without "
+                    "resume=True to start a fresh crawl"
+                )
             start_round = manifest["round"] + 1
             seen_names = list(manifest["seen_dirs"])
             frontier_dir = manifest["frontier_dir"]
