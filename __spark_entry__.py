@@ -520,6 +520,25 @@ def q_text_fingerprint(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_multimodal_decode(spark, sf):
+    """Real stdlib media decode (PNG chunk-walk + zlib inflate +
+    unfilter; WAV via the wave module) over deterministically
+    synthesized blobs: even doc_ids get a PNG whose dims derive from the
+    id, odd ids an 8 kHz WAV whose duration derives from the id. The
+    oracle recomputes the expected (width, height, duration_ms) from the
+    same id arithmetic — so a hash match proves the decoders really
+    extracted the values from the bytes."""
+    from walker_spark.operators.multimodal import decode_and_featurize, synth_media_df
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 64)
+    media = synth_media_df(d)
+    return (
+        decode_and_featurize(media, decoder="real")
+        .select("media_id", "kind", "ok", "width", "height", "duration_ms")
+        .orderBy("media_id")
+    )
+
+
 def q_ann_cosine_topk(spark, sf):
     from walker_spark.operators.similarity import cosine_topk
 
@@ -604,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1109,6 +1129,20 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY lang ORDER BY lang
         """,
         "text_langid": _langid_sql(),
+        # multimodal_decode: the Spark side round-trips real bytes
+        # (encode_png/encode_wav → stdlib decoders); the oracle derives
+        # the expected dimensions/durations from the same doc_id
+        # arithmetic the fixture generator uses — an independent
+        # recomputation, not a re-decode.
+        "multimodal_decode": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                   TRUE AS ok,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 13 ELSE 0 END AS INT) AS width,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7 ELSE 0 END AS INT) AS height,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 100 + 5 * (doc_id % 50) END AS INT) AS duration_ms
+            FROM documents WHERE doc_id < 64 ORDER BY media_id
+        """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         # dedup_simhash: full SQL replica of the signature computation —

@@ -294,8 +294,21 @@ def fetch_and_extract(
     sfn, vfn, gv, llf = scrape_func, validation_func, group_validator, link_list_filter
 
     def extract_fn(batches):
+        status_200, status_404 = _status_line(200), _status_line(404)
         for pdf in batches:
-            rows = []
+            # Columnar accumulation: one python list per output column,
+            # one pd.DataFrame built from the dict of lists per batch.
+            # The per-row dict + DataFrame(list-of-records) form this
+            # replaced roughly doubled Python-side allocation on the
+            # engine's hottest loop (the Arrow conversion out is
+            # identical either way).
+            cols: dict[str, list] = {c: [] for c in RESULT_COLUMNS}
+            (
+                o_url, o_host, o_depth, o_round, o_pos, o_code, o_status,
+                o_ctype, o_group, o_error, o_dur, o_time, o_redir, o_links,
+                o_nlinks, o_norms, o_next, o_prev, o_struct, o_text,
+                o_data, o_vals, o_vrep, o_clinks,
+            ) = (cols[c] for c in RESULT_COLUMNS)
             for t in pdf.itertuples(index=False):
                 url = t.url
                 err = t.fetch_error or ""
@@ -303,51 +316,46 @@ def fetch_and_extract(
                 # arrays — `x or []` is ambiguous for len>1, hence the
                 # explicit None check.
                 chain = t.redirects if t.redirects is not None else []
-                redirects = [{"code": int(r["code"]), "url": r["url"]} for r in chain]
-                row = {
-                    "url": url,
-                    "host": t.host,
-                    "depth": int(t.depth),
-                    "round": rn,
-                    "batch_pos": int(t.batch_pos),
-                    "code": 0,
-                    "status": "",
-                    "content_type": "",
-                    "group": "default",
-                    "error": err,
-                    "duration_us": synthetic_duration_us(url),
-                    "time_us": synthetic_time_us(rn, int(t.batch_pos)),
-                    "redirects": redirects,
-                    "links": {},
-                    "normalized_links": {},
-                    "link_norms": [],
-                    "link_next_norm": "",
-                    "link_prev_norm": "",
-                    "structure": None,
-                    "text": "",
-                    "data": None,
-                    "validations": None,
-                    "validation_report": None,
-                    "custom_links": None,
-                }
-                if err:
-                    rows.append(row)
+                o_url.append(url)
+                o_host.append(t.host)
+                o_depth.append(int(t.depth))
+                o_round.append(rn)
+                o_pos.append(int(t.batch_pos))
+                o_dur.append(synthetic_duration_us(url))
+                o_time.append(synthetic_time_us(rn, int(t.batch_pos)))
+                o_redir.append(
+                    [{"code": int(r["code"]), "url": r["url"]} for r in chain]
+                )
+                if err or t.html is None:
+                    if err:
+                        o_code.append(0)
+                        o_status.append("")
+                        o_ctype.append("")
+                    else:
+                        o_code.append(404)
+                        o_status.append(status_404)
+                        o_ctype.append("text/plain; charset=utf-8")
+                    o_group.append("default")
+                    o_error.append(err)
+                    o_links.append({})
+                    o_nlinks.append({})
+                    o_norms.append([])
+                    o_next.append("")
+                    o_prev.append("")
+                    o_struct.append(None)
+                    o_text.append("")
+                    o_data.append(None)
+                    o_vals.append(None)
+                    o_vrep.append(None)
+                    o_clinks.append(None)
                     continue
-                if t.html is None:
-                    row["code"] = 404
-                    row["status"] = _status_line(404)
-                    row["content_type"] = "text/plain; charset=utf-8"
-                    rows.append(row)
-                    continue
-                row["code"] = 200
-                row["status"] = _status_line(200)
-                row["content_type"] = "text/html; charset=utf-8"
-                row["group"] = _derive_group(url_path(t.final_url), ghe)
+                group = _derive_group(url_path(t.final_url), ghe)
                 html = bytes(t.html).decode("utf-8", errors="replace")
+                vrep = None
                 if gv is not None:  # scrape.go:102-106
-                    rep = gv.validate(row["group"], html)
+                    rep = gv.validate(group, html)
                     if rep is not None:
-                        row["validation_report"] = {
+                        vrep = {
                             "score": rep.score,
                             "validations": [
                                 {
@@ -370,42 +378,52 @@ def fetch_and_extract(
                     if n is not None:
                         nl[n] = c
                         norms.append(n)
-                row["links"] = links
-                row["normalized_links"] = nl
-                row["link_norms"] = norms
-                row["link_next_norm"] = normalize_link(base, structure["link_next"]) or ""
-                row["link_prev_norm"] = normalize_link(base, structure["link_prev"]) or ""
-                row["structure"] = structure
-                row["text"] = text
+                error = ""
+                data = None
+                vals = None
+                clinks = None
                 if sfn is not None:  # ScrapeFunc, scrape.go:132-140
                     try:
-                        row["data"] = json.dumps(sfn(html), sort_keys=True)
+                        data = json.dumps(sfn(html), sort_keys=True)
                     except Exception as e:
-                        row["error"] = str(e)
-                if vfn is not None and not row["error"]:  # scrape.go:142-149
+                        error = str(e)
+                if vfn is not None and not error:  # scrape.go:142-149
                     try:
-                        row["validations"] = [
+                        vals = [
                             {
                                 "level": v.get("level", "info"),
                                 "message": v.get("message", ""),
                                 "group": v.get("group", ""),
                             }
-                            for v in (vfn(structure, row["data"]) or [])
+                            for v in (vfn(structure, data) or [])
                         ]
                     except Exception as e:
-                        row["error"] = str(e)
+                        error = str(e)
                 if llf is not None:  # LinkListFilterFunc replaces F1-F9
                     try:
-                        row["custom_links"] = {
+                        clinks = {
                             str(k): int(v)
                             for k, v in (llf(base, url, links, structure) or {}).items()
                         }
                     except Exception:
-                        row["custom_links"] = {}
-                rows.append(row)
-            yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                {c: [] for c in RESULT_COLUMNS}
-            )
+                        clinks = {}
+                o_code.append(200)
+                o_status.append(status_200)
+                o_ctype.append("text/html; charset=utf-8")
+                o_group.append(group)
+                o_error.append(error)
+                o_links.append(links)
+                o_nlinks.append(nl)
+                o_norms.append(norms)
+                o_next.append(normalize_link(base, structure["link_next"]) or "")
+                o_prev.append(normalize_link(base, structure["link_prev"]) or "")
+                o_struct.append(structure)
+                o_text.append(text)
+                o_data.append(data)
+                o_vals.append(vals)
+                o_vrep.append(vrep)
+                o_clinks.append(clinks)
+            yield pd.DataFrame(cols)
 
     return joined.mapInPandas(extract_fn, RESULT_SCHEMA)
 
