@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "tpch_pricing_summary",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "multimodal_decode",
     "text_token_counts",
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -37,7 +37,7 @@ def _result_state(df):
 
 
 def test_two_loops_identical_on_unchanged_store(spark, tmp_path):
-    spec = SiteSpec(seed=23, n_hosts=2, n_pages=50)
+    spec = SiteSpec(seed=23, n_hosts=2, n_pages=28)
     paths = write_pages_tables(spark, spec, str(tmp_path / "site"))
     store = build_store(spec)
     ckpt = str(tmp_path / "ck")
@@ -62,7 +62,7 @@ def test_two_loops_identical_on_unchanged_store(spark, tmp_path):
 
 
 def test_loop_resume_continues(spark, tmp_path):
-    spec = SiteSpec(seed=23, n_hosts=2, n_pages=50)
+    spec = SiteSpec(seed=23, n_hosts=2, n_pages=28)
     paths = write_pages_tables(spark, spec, str(tmp_path / "site2"))
     store = build_store(spec)
     ckpt = str(tmp_path / "ck2")

@@ -32,7 +32,7 @@ def _mk(spark, paths, store, ckpt, max_rounds=0):
 
 
 def test_resume_exactness(spark, tmp_path):
-    spec = SiteSpec(seed=11, n_hosts=2, n_pages=60)
+    spec = SiteSpec(seed=11, n_hosts=2, n_pages=40)
     site = str(tmp_path / "site")
     paths = write_pages_tables(spark, spec, site)
     store = build_store(spec)
@@ -48,6 +48,7 @@ def test_resume_exactness(spark, tmp_path):
     s_res = resumed.run(resume=True)
 
     assert s_res["rounds"] == s_full["rounds"]
+    assert s_res["rounds"] > 3  # the kill really was mid-crawl
     # the resumed run fetches exactly what the killed run hadn't
     assert s_res["total_fetched"] == s_full["total_fetched"] - sum(
         m.fetched for m in part.metrics
@@ -68,7 +69,7 @@ def test_seen_compaction_resume_exact(spark, tmp_path):
     not change anything observable: same rounds, same seen set, same
     results as an uncompacted run, including across a kill/resume that
     straddles a compaction point."""
-    spec = SiteSpec(seed=11, n_hosts=2, n_pages=80)
+    spec = SiteSpec(seed=11, n_hosts=2, n_pages=40)
     paths = write_pages_tables(spark, spec, str(tmp_path / "site"))
     store = build_store(spec)
 
@@ -80,19 +81,20 @@ def test_seen_compaction_resume_exact(spark, tmp_path):
 
     plain = mk(str(tmp_path / "plain"))
     s_plain = plain.run()
-    assert s_plain["rounds"] >= 10  # enough rounds to compact repeatedly
+    assert s_plain["rounds"] >= 7  # ≥2 compaction points at every 3 rounds
 
-    compacted = mk(str(tmp_path / "compact"), compact_every=4)
-    s_c = compacted.run()
-    assert s_c["rounds"] == s_plain["rounds"]
-    assert s_c["total_fetched"] == s_plain["total_fetched"]
-    assert os.path.isdir(os.path.join(str(tmp_path / "compact"), "seen_compact"))
-
-    # kill after 6 rounds (straddles the 4-round compaction) and resume
-    part = mk(str(tmp_path / "part"), max_rounds=6, compact_every=4)
+    # One compacted crawl, killed after 4 rounds (straddles the 3-round
+    # compaction point) and resumed: comparing its final state against
+    # the UNcompacted uninterrupted run proves both properties at once —
+    # compaction changes nothing observable AND resume across a
+    # compaction boundary is exact. (r3: the previous extra full
+    # compacted run asserted a subset of this, for 1/3 more wall.)
+    part = mk(str(tmp_path / "part"), max_rounds=4, compact_every=3)
     part.run()
-    resumed = mk(str(tmp_path / "part"), compact_every=4)
-    resumed.run(resume=True)
+    resumed = mk(str(tmp_path / "part"), compact_every=3)
+    s_res = resumed.run(resume=True)
+    assert s_res["rounds"] == s_plain["rounds"]  # total rounds, absolute
+    assert os.path.isdir(os.path.join(str(tmp_path / "part"), "seen_compact"))
 
     key = lambda r: (r["url"], r["code"], r["depth"], r["round"])  # noqa: E731
     assert sorted(key(r) for r in resumed.results_df().collect()) == sorted(

@@ -63,7 +63,7 @@ def test_crawl_with_bloom_forced_matches_without(spark, tmp_path):
     from walker_spark.plans.crawl import Crawler
     from walker_spark.sources.synthetic import SiteSpec, build_store, write_pages_tables
 
-    spec = SiteSpec(seed=21, n_hosts=2, n_pages=70)
+    spec = SiteSpec(seed=21, n_hosts=2, n_pages=40)
     paths = write_pages_tables(spark, spec, str(tmp_path / "site"))
     store = build_store(spec)
 
@@ -72,7 +72,7 @@ def test_crawl_with_bloom_forced_matches_without(spark, tmp_path):
             spark,
             CrawlConfig(
                 target=Target(base_url="https://host-0000.example", paths=["/"]),
-                host_budget=9,
+                host_budget=14,
                 group_header="group",
                 agent="walker-spark",
             ),

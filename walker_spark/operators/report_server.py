@@ -49,7 +49,12 @@ def results_yaml(results: DataFrame, url: str = "", prefix: str = "") -> str:
     return "\n".join(out)
 
 
-def _render_list(results, **kw) -> str:
+def _render_list(results, page=None, page_size=None, **kw) -> str:
+    """reportList; with ``?page=``/``?pageSize=`` the walker Service
+    pagination (W3, ``service.go:137-166``) slices the URL-sorted result
+    set BEFORE rendering — the header count is the page's row count."""
+    if page is not None:
+        results = R.paginate(results, page, page_size or 50)
     rows = R.list_report(results).collect()
     return "\n".join(_hdr("list", len(rows)) + [r["entry"] for r in rows])
 
@@ -159,12 +164,21 @@ REPORT_NAMES = {
 }
 
 
-def render_report(name: str, results: DataFrame, url: str = "", prefix: str = "") -> str:
+def render_report(
+    name: str,
+    results: DataFrame,
+    url: str = "",
+    prefix: str = "",
+    page: int | None = None,
+    page_size: int | None = None,
+) -> str:
     """One endpoint's text for one snapshot, with walker's url/prefix
-    result filters applied first."""
+    result filters applied first (and Service pagination on /list)."""
     fn = REPORT_NAMES[name]
     if name != "results":  # results_yaml filters itself (keeps its header count right)
         results = R.filter_results(results, prefix=prefix, url=url)
+        if name == "list":
+            return fn(results, page=page, page_size=page_size)
         return fn(results)
     return fn(results, url=url, prefix=prefix)
 
@@ -176,6 +190,8 @@ def report_dual_status(
     statuses: list[str] | None = None,
     url: str = "",
     prefix: str = "",
+    page: int | None = None,
+    page_size: int | None = None,
 ) -> str:
     """walker's dual-snapshot wrapper (``reports/reports.go:134-160``):
     render the report per requested status, defaulting to both."""
@@ -191,7 +207,11 @@ def report_dual_status(
             out[-2] = f"STATUS {s} is nil"
             out.pop()
             continue
-        out += [render_report(name, df, url=url, prefix=prefix), "", ""]
+        out += [
+            render_report(name, df, url=url, prefix=prefix, page=page, page_size=page_size),
+            "",
+            "",
+        ]
     return "\n".join(out)
 
 
@@ -234,6 +254,8 @@ def serve_reports(crawler, port: int = 0, paths: list[str] | None = None):
                         for s in ",".join(q.get("status", [])).split(",")
                         if s.strip()
                     ]
+                    page_q = (q.get("page") or [None])[0]
+                    size_q = (q.get("pageSize") or [None])[0]
                     body = report_dual_status(
                         name,
                         running,
@@ -241,6 +263,8 @@ def serve_reports(crawler, port: int = 0, paths: list[str] | None = None):
                         statuses=statuses,
                         url=(q.get("url") or [""])[0],
                         prefix=(q.get("prefix") or [""])[0],
+                        page=int(page_q) if page_q is not None else None,
+                        page_size=int(size_q) if size_q is not None else None,
                     )
                     ctype = "text/plain; charset=utf-8"
                 else:

@@ -42,7 +42,7 @@ from ..functions.robots import parse_robots
 from ..operators.linkfilter import apply_link_filters, authority_of, scheme_of
 from ..operators.politeness import select_fetch_batch
 from ..operators.seen import BloomShards, seen_anti_join
-from ..sources.tables import ParquetTableIO, atomic_write_json, read_json
+from ..sources.tables import atomic_write_json, make_table_io, read_json
 from ..urlnorm import normalize_link, url_host, url_path
 
 __all__ = ["Crawler", "RESULT_SCHEMA", "resolve_redirects", "fetch_and_extract", "link_candidates"]
@@ -556,7 +556,9 @@ class Crawler:
         self.pages = pages
         self.redirect_edges = redirect_edges
         self.robots_bodies = robots_bodies or {}
-        self.io = ParquetTableIO(spark, checkpoint_dir)
+        # table backend is a flag: parquet (manifest dance) or Iceberg
+        # (catalog commits) — see sources/tables.py make_table_io
+        self.io = make_table_io(spark, checkpoint_dir)
         self.multi_host = multi_host
         self.seeds = seeds if seeds is not None else conf.seed_urls()
         self.record_order = record_order
@@ -864,12 +866,12 @@ class Crawler:
         :meth:`running_results_df` the in-flight one. ``resume``
         continues an interrupted loop round-exactly, then keeps looping.
         """
-        root_io = ParquetTableIO(self.spark, self.io.root)
+        root_io = make_table_io(self.spark, self.io.root)
         state = read_json(root_io.path("loops.json")) if resume else None
         start = (state["completed"] + 1) if state else 0
         summaries: list[dict] = (state or {}).get("summaries", [])
         for li in range(start, loops):
-            self.io = ParquetTableIO(self.spark, root_io.path(f"loop={li:03d}"))
+            self.io = make_table_io(self.spark, root_io.path(f"loop={li:03d}"))
             summaries.append(self.run(resume=resume and li == start))
             atomic_write_json(
                 root_io.path("loops.json"),
@@ -883,7 +885,7 @@ class Crawler:
         base = self.io.root
         if "/loop=" in base:
             base = base.rsplit("/loop=", 1)[0]
-        c.io = ParquetTableIO(self.spark, os.path.join(base, f"loop={li:03d}"))
+        c.io = make_table_io(self.spark, os.path.join(base, f"loop={li:03d}"))
         return c
 
     def _loops_state(self) -> dict | None:

@@ -1,11 +1,20 @@
-"""TableIO seam: parquet now, Iceberg-ready.
+"""TableIO seam: parquet now, Iceberg as a flag.
 
 The north rule specifies Iceberg tables; this sandbox ships no Iceberg
 runtime jar, so the engine isolates table IO behind this seam (SURVEY.md
 §7 hard-part e). ``ParquetTableIO`` implements snapshot semantics with
-write-then-atomic-manifest; an Iceberg implementation would replace the
-manifest dance with catalog commits (``spark.table(...)``,
-``writeTo(...).createOrReplace()``) and inherit everything else.
+write-then-atomic-manifest; ``IcebergTableIO`` maps the same interface
+onto catalog commits and activates when an Iceberg catalog is actually
+configured on the session. :func:`make_table_io` is the selection flag:
+
+* ``backend="auto"`` (default) — Iceberg iff the session has a
+  ``spark.sql.catalog.<name>`` configured whose implementation is
+  Iceberg's SparkCatalog; parquet otherwise.
+* ``backend="iceberg"`` — require Iceberg; raise a clear error when the
+  runtime isn't present (instead of failing deep inside a write).
+* ``backend="parquet"`` — force the manifest-based store.
+
+Override via ``SPARK_GRAFT_TABLE_BACKEND`` without touching code.
 """
 
 from __future__ import annotations
@@ -18,6 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "ParquetTableIO",
+    "IcebergTableIO",
+    "make_table_io",
+    "iceberg_catalogs",
     "atomic_write_json",
     "read_json",
     "write_bucketed_table",
@@ -139,3 +151,107 @@ class ParquetTableIO:
         return os.path.exists(os.path.join(p, "_SUCCESS")) or (
             os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
         )
+
+
+def iceberg_catalogs(spark: SparkSession) -> list[str]:
+    """Names of Iceberg catalogs configured on this session (keys
+    ``spark.sql.catalog.<name>`` whose class is Iceberg's SparkCatalog).
+    Empty when no Iceberg runtime is wired up — the auto-selection
+    signal for :func:`make_table_io`."""
+    prefix = "spark.sql.catalog."
+    out = []
+    for key, val in spark.sparkContext.getConf().getAll():
+        if (
+            key.startswith(prefix)
+            and "." not in key[len(prefix) :]
+            and "iceberg" in (val or "").lower()
+        ):
+            out.append(key[len(prefix) :])
+    return sorted(out)
+
+
+class IcebergTableIO:
+    """Iceberg-backed TableIO: same interface as :class:`ParquetTableIO`
+    with logical names mapped to catalog tables (``name`` path segments
+    → a sanitized table identifier under ``<catalog>.<namespace>``).
+
+    The manifest dance disappears — Iceberg commits are atomic — and
+    :meth:`row_count` reads ``total-records`` from the current snapshot
+    summary (the footer-walk equivalent, also zero Spark jobs). Only
+    constructible when the session actually has an Iceberg catalog
+    (:func:`make_table_io` guards this); this sandbox ships no Iceberg
+    jar, so the class is exercised for selection logic only.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, catalog: str, namespace: str = "walker"):
+        self.spark = spark
+        self.root = root
+        self.catalog = catalog
+        self.namespace = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _ident(self, name: str) -> str:
+        safe = "".join(c if c.isalnum() else "_" for c in name.strip("/"))
+        return f"{self.catalog}.{self.namespace}.{safe}"
+
+    def path(self, name: str) -> str:
+        # sidecar files (metrics.jsonl, manifest.json) stay filesystem
+        return os.path.join(self.root, name)
+
+    def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> str:
+        ident = self._ident(name)
+        w = df.writeTo(ident)
+        if partition_by:
+            from pyspark.sql.functions import col
+
+            w = w.partitionedBy(*[col(c) for c in partition_by])
+        w.createOrReplace()
+        return ident
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.table(self._ident(name))
+
+    def read_many(self, names: list[str]) -> DataFrame:
+        dfs = [self.read(n) for n in names]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def row_count(self, name: str) -> int:
+        rows = self.spark.sql(
+            f"SELECT summary['total-records'] AS n FROM {self._ident(name)}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0]["n"]) if rows else 0
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._ident(name))
+
+
+def make_table_io(
+    spark: SparkSession, root: str, backend: str | None = None
+) -> "ParquetTableIO | IcebergTableIO":
+    """The parquet/Iceberg swap as a flag (VERDICT r2 next-round #6).
+
+    ``backend``: ``parquet`` | ``iceberg`` | ``auto`` (default; also
+    settable via ``SPARK_GRAFT_TABLE_BACKEND``). auto picks Iceberg iff
+    the session has an Iceberg catalog configured; an explicit
+    ``iceberg`` without one fails fast with setup instructions.
+    """
+    backend = backend or os.environ.get("SPARK_GRAFT_TABLE_BACKEND", "auto")
+    cats = iceberg_catalogs(spark)
+    if backend == "parquet":
+        return ParquetTableIO(spark, root)
+    if backend == "iceberg":
+        if not cats:
+            raise RuntimeError(
+                "backend='iceberg' but no Iceberg catalog is configured on "
+                "this session; add the iceberg-spark-runtime jar and set "
+                "spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog "
+                "(+ its warehouse/type settings), or use backend='parquet'"
+            )
+        return IcebergTableIO(spark, root, cats[0])
+    if backend == "auto":
+        return IcebergTableIO(spark, root, cats[0]) if cats else ParquetTableIO(spark, root)
+    raise ValueError(f"unknown table backend {backend!r}")
