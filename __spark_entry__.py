@@ -449,13 +449,16 @@ def q_dedup_simhash(spark, sf):
     """SimHash near-dup pairs, hamming ≤ 8. The md5-prefix token-hash
     family is shared with DuckDB, so the oracle recomputes the exact
     signature in SQL; pigeonhole banding has recall 1.0 by construction,
-    so the oracle is the exact hamming cross join. max_bucket (the
-    production skew cap) is lifted here — a capped bucket would trade
-    recall for skew-safety and break exactness at oracle scale."""
+    so the oracle is the exact hamming cross join. The default
+    max_bucket=200 skew cap does NOT bind at the sf0.01 correctness
+    scale (measured max bucket 153 of 500 docs), so the capped
+    production path still reproduces the exact answer there; at bench
+    scale (sf0.1, max bucket 1639) the cap is what keeps the r=8
+    banding — only 2^7 bucket values per band — from going quadratic."""
     from walker_spark.operators.dedup import simhash_pairs
 
     d = _t(spark, sf, "documents")
-    return simhash_pairs(d, max_hamming=8, max_bucket=1_000_000).orderBy("id_a", "id_b")
+    return simhash_pairs(d, max_hamming=8).orderBy("id_a", "id_b")
 
 
 def q_text_token_counts(spark, sf):
