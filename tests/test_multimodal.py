@@ -101,3 +101,25 @@ def test_unsupported_kind_is_row_error_not_task_failure(spark):
     )
     rows = decode_and_featurize(df, decoder="real").collect()
     assert len(rows) == 1 and not rows[0]["ok"] and "decoder" in rows[0]["err"]
+
+
+def test_truncated_blobs_are_row_errors(spark):
+    """Truncated/corrupt media must become ok=false rows, never task
+    failures — crawled corpora are full of short reads."""
+    from walker_spark.operators.multimodal import encode_png, encode_wav, decode_and_featurize
+
+    png, wav = encode_png(6, 4), encode_wav(500)
+    rows = [
+        (1, "image", png[: len(png) // 2]),  # cut mid-IDAT
+        (2, "image", png[:20]),  # cut mid-IHDR header
+        (3, "audio", wav[:30]),  # cut mid-fmt chunk
+        (4, "image", b""),
+        (5, "image", png),  # intact control
+    ]
+    df = spark.createDataFrame(
+        [(i, k, 0, 0, 0, 0, bytearray(b)) for i, k, b in rows],
+        "media_id long, kind string, n_bytes long, width int, height int, duration_ms int, blob binary",
+    ).withColumn("mime", F.lit("x"))
+    out = {r["media_id"]: r for r in decode_and_featurize(df, decoder="real").collect()}
+    assert not out[1]["ok"] and not out[2]["ok"] and not out[3]["ok"] and not out[4]["ok"]
+    assert out[5]["ok"] and (out[5]["width"], out[5]["height"]) == (6, 4)

@@ -258,7 +258,6 @@ def attach_media_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 def decode_and_featurize(
     df: DataFrame,
     decoder: str = "real",
-    batch_hint: int = 256,
 ) -> DataFrame:
     """mapInPandas decode/feature-extract stage.
 
@@ -288,7 +287,15 @@ def decode_and_featurize(
                     out["duration_ms"].append(d.duration_ms)
                     out["thumb_w"].append(min(d.width, 16))
                     out["thumb_h"].append(min(d.height, 16))
-                except (NotImplementedError, ValueError, zlib.error, wave.Error, EOFError) as e:
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    zlib.error,
+                    wave.Error,
+                    EOFError,
+                    struct.error,  # truncated chunk headers
+                    IndexError,  # truncated scanline bytes
+                ) as e:
                     out["ok"].append(False)
                     out["err"].append(str(e)[:120])
                     out["feat"].append([])
