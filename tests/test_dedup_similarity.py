@@ -297,3 +297,28 @@ def test_simhash_udf_matches_expr_lockstep(spark):
             bits = ((a[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             got = "".join("1" if v > 0 else "0" for v in (2 * bits - 1).sum(axis=0))
         assert got == r["sim_expr"], r["doc_id"]
+
+
+def test_md5_64_expr_matches_hashlib(spark):
+    """Property: md5_64_expr == int64 view of the first 8 md5 bytes for
+    arbitrary strings — the contract that makes the simhash/fingerprint
+    oracles engine-independent (DuckDB reads the same hex prefix)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from walker_spark.operators.dedup import md5_64_expr
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=8))
+    def check(texts):
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        got = [r["h"] for r in df.select(md5_64_expr(F.col("t")).alias("h")).collect()]
+        want = [
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big", signed=True)
+            for t in texts
+        ]
+        assert got == want
+
+    check()

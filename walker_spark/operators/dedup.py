@@ -317,8 +317,17 @@ def minhash_lsh_pairs(
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "bucket").orderBy("id")
-    capped = banded.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= max_bucket
+    capped = (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .select("band", "bucket", "id")
+        # the bucket self-join consumes this frame TWICE, and Spark does
+        # NOT reuse the subplan across the two aliased sides (verified
+        # in the physical plan: the scan → signature UDF → explode → cap
+        # pipeline appears once per side). Persisting the tiny
+        # (id, band, bucket) frame halves the corpus scans and signature
+        # passes — at 100 TB the signature pass IS the dominant map cost.
+        .persist()
     )
     a = capped.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_a"))
     b = capped.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_b"))
@@ -328,8 +337,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
         # candidates are consumed three times below (cand_ids + two
-        # feature joins); persist so the banding pipeline — the
-        # expensive 128-hash signature pass — executes exactly once
+        # feature joins); persist so the band join executes exactly once
         .persist()
     )
     # exact-Jaccard verify: shingle only the candidate docs (semi-join
@@ -356,11 +364,12 @@ def minhash_lsh_pairs(
     )
     if eager:
         # materialize the (small) verified pair set, then drop the
-        # candidate cache — the checkpointed blocks are the output rows
+        # candidate caches — the checkpointed blocks are the output rows
         # only, and Spark's ContextCleaner reclaims them once the
         # returned DataFrame is unreferenced.
         verified = verified.localCheckpoint(eager=True)
         pair_ids.unpersist()
+        capped.unpersist()
     return verified
 
 
@@ -423,12 +432,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 200,
+    eager: bool = True,
+    cache_banding: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
     Banding: split the 64-bit hash into (max_hamming+1) segments — any
     pair within distance r matches exactly on ≥1 segment (pigeonhole),
     so the bucket join finds all candidates; exact popcount verifies.
+    ``eager``: see :func:`minhash_lsh_pairs`. ``cache_banding``:
+    persist the (band, bucket, id, lsim) frame across the self-join so
+    the corpus scan + signature pass run once instead of twice.
     """
     segs = max_hamming + 1
     seg_bits = 64 // segs
@@ -490,7 +504,13 @@ def simhash_pairs(
     w = Window.partitionBy("band", "bucket").orderBy("id")
     capped = banded.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= max_bucket
-    )
+    ).select("band", "bucket", "id", "lsim")
+    if cache_banding:
+        # persisted across the self-join: Spark does not reuse the
+        # scan → sim_udf → explode → cap subplan between the two aliased
+        # sides (see minhash_lsh_pairs), so without this the corpus is
+        # scanned and the signature UDF runs twice
+        capped = capped.persist()
     a = capped.select("band", "bucket", F.col("id").alias("id_a"), F.col("lsim").alias("l_a"))
     b = capped.select("band", "bucket", F.col("id").alias("id_b"), F.col("lsim").alias("l_b"))
     pairs = (
@@ -498,13 +518,19 @@ def simhash_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    result = (
         pairs.withColumn(
             "hamming", F.bit_count(F.col("l_a").bitwiseXOR(F.col("l_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if eager and cache_banding:
+        # see minhash_lsh_pairs: materialize the small pair set, release
+        # the banding cache so repeated calls don't accumulate blocks
+        result = result.localCheckpoint(eager=True)
+        capped.unpersist()
+    return result
 
 
 def ngram_jaccard_pairs(
