@@ -322,3 +322,23 @@ def test_md5_64_expr_matches_hashlib(spark):
         assert got == want
 
     check()
+
+
+def test_hamming_expr_matches_popcount(spark):
+    """hamming_expr (the interpreted reference form) must agree with the
+    production bit_count(xor)-on-packed-longs verify."""
+    from walker_spark.operators.dedup import hamming_expr
+
+    rows = [("1010" * 16, "1110" * 16), ("0" * 64, "1" * 64), ("01" * 32, "01" * 32)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = df.select(
+        hamming_expr(F.col("a"), F.col("b")).alias("h"),
+        F.bit_count(
+            F.conv(F.col("a"), 2, -10).cast("long").bitwiseXOR(
+                F.conv(F.col("b"), 2, -10).cast("long")
+            )
+        ).alias("p"),
+    ).collect()
+    for r in got:
+        assert r["h"] == r["p"]
+    assert [r["h"] for r in got] == [16, 64, 0]
