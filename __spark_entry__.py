@@ -449,16 +449,17 @@ def q_dedup_simhash(spark, sf):
     """SimHash near-dup pairs, hamming ≤ 8. The md5-prefix token-hash
     family is shared with DuckDB, so the oracle recomputes the exact
     signature in SQL; pigeonhole banding has recall 1.0 by construction,
-    so the oracle is the exact hamming cross join. The default
-    max_bucket=200 skew cap does NOT bind at the sf0.01 correctness
-    scale (measured max bucket 153 of 500 docs), so the capped
-    production path still reproduces the exact answer there; at bench
-    scale (sf0.1, max bucket 1639) the cap is what keeps the r=8
-    banding — only 2^7 bucket values per band — from going quadratic."""
+    so the oracle is the exact hamming cross join. The entry runs with
+    ``max_bucket=None`` — lossless banding, matching the oracle's
+    assumption BY CONSTRUCTION rather than by the cap happening not to
+    bind at the tested SF (ADVICE r3: the default cap=200 only matched
+    because sf0.01's max bucket was 153; fixture growth would have
+    silently dropped candidates). The capped path stays the production
+    default for degenerate-skew corpora and is pytest-covered."""
     from walker_spark.operators.dedup import simhash_pairs
 
     d = _t(spark, sf, "documents")
-    return simhash_pairs(d, max_hamming=8).orderBy("id_a", "id_b")
+    return simhash_pairs(d, max_hamming=8, max_bucket=None).orderBy("id_a", "id_b")
 
 
 def q_text_token_counts(spark, sf):
@@ -1154,8 +1155,9 @@ def oracle_sql() -> dict[str, str]:
         # bits come from hex-nibble shifts, the ±1 fold is a GROUP BY
         # sum, and the pair set is the exact hamming≤r cross join (the
         # pigeonhole banding in Spark has recall 1.0 by construction, so
-        # candidate banding must reproduce the exact answer; the
-        # max_bucket skew cap is lifted in the query entry at these SFs).
+        # candidate banding must reproduce the exact answer; the query
+        # entry passes max_bucket=None, so banding is lossless by
+        # construction, not merely because the cap happens not to bind).
         # Zero-token docs carry the all-zero signature on both sides.
         "dedup_simhash": f"""
             WITH norm AS (

@@ -431,7 +431,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket: int = 200,
+    max_bucket: int | None = 200,
     eager: bool = True,
     cache_banding: bool = True,
 ) -> DataFrame:
@@ -440,6 +440,13 @@ def simhash_pairs(
     Banding: split the 64-bit hash into (max_hamming+1) segments — any
     pair within distance r matches exactly on ≥1 segment (pigeonhole),
     so the bucket join finds all candidates; exact popcount verifies.
+    ``max_bucket`` caps each (band, bucket) at that many members as the
+    100 TB skew guard (a degenerate bucket — boilerplate pages sharing a
+    signature segment — otherwise goes quadratic in the self-join);
+    ``None`` disables the cap AND the row_number window that implements
+    it, making the banding provably lossless — the setting the exact
+    DuckDB oracle assumes (ADVICE r3: the capped path only matched
+    because the measured max bucket at sf0.01 was 153 < 200).
     ``eager``: see :func:`minhash_lsh_pairs`. ``cache_banding``:
     persist the (band, bucket, id, lsim) frame across the self-join so
     the corpus scan + signature pass run once instead of twice.
@@ -499,12 +506,15 @@ def simhash_pairs(
             )
         ).alias("band", "bucket"),
     )
-    from pyspark.sql import Window
+    if max_bucket is None:
+        capped = banded.select("band", "bucket", "id", "lsim")
+    else:
+        from pyspark.sql import Window
 
-    w = Window.partitionBy("band", "bucket").orderBy("id")
-    capped = banded.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= max_bucket
-    ).select("band", "bucket", "id", "lsim")
+        w = Window.partitionBy("band", "bucket").orderBy("id")
+        capped = banded.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= max_bucket
+        ).select("band", "bucket", "id", "lsim")
     if cache_banding:
         # persisted across the self-join: Spark does not reuse the
         # scan → sim_udf → explode → cap subplan between the two aliased

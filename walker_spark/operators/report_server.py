@@ -254,8 +254,16 @@ def serve_reports(crawler, port: int = 0, paths: list[str] | None = None):
                         for s in ",".join(q.get("status", [])).split(",")
                         if s.strip()
                     ]
-                    page_q = (q.get("page") or [None])[0]
-                    size_q = (q.get("pageSize") or [None])[0]
+                    def _int_or_none(v):
+                        # non-numeric ?page=/?pageSize= fall back to
+                        # unpaged rather than a 500 (ADVICE r3)
+                        try:
+                            return int(v) if v is not None else None
+                        except ValueError:
+                            return None
+
+                    page_q = _int_or_none((q.get("page") or [None])[0])
+                    size_q = _int_or_none((q.get("pageSize") or [None])[0])
                     body = report_dual_status(
                         name,
                         running,
@@ -263,8 +271,8 @@ def serve_reports(crawler, port: int = 0, paths: list[str] | None = None):
                         statuses=statuses,
                         url=(q.get("url") or [""])[0],
                         prefix=(q.get("prefix") or [""])[0],
-                        page=int(page_q) if page_q is not None else None,
-                        page_size=int(size_q) if size_q is not None else None,
+                        page=page_q,
+                        page_size=size_q,
                     )
                     ctype = "text/plain; charset=utf-8"
                 else:

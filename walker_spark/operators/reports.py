@@ -172,9 +172,11 @@ def list_report(results: DataFrame) -> DataFrame:
 
 
 def paginate(results: DataFrame, page: int, page_size: int) -> DataFrame:
-    """W3 (``service.go:137-166``): lexicographic URL sort, page slice."""
+    """W3 (``service.go:137-166``): lexicographic URL sort, page slice.
+    Out-of-range input follows the reference: service.go clamps
+    ``start < 0`` to 0, so a negative page returns the FIRST page."""
     w = Window.orderBy(F.col("url").asc())
-    start = page * page_size
+    start = max(0, page * page_size)
     end = start + page_size
     return (
         results.withColumn("_rn", F.row_number().over(w) - 1)

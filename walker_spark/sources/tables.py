@@ -159,14 +159,19 @@ def iceberg_catalogs(spark: SparkSession) -> list[str]:
     Empty when no Iceberg runtime is wired up — the auto-selection
     signal for :func:`make_table_io`."""
     prefix = "spark.sql.catalog."
-    out = []
-    for key, val in spark.sparkContext.getConf().getAll():
+    # context conf only reflects settings captured at SparkContext
+    # creation; catalogs registered later via spark.conf.set(...) show
+    # up only in the runtime SQL conf, so scan both (ADVICE r3)
+    pairs = list(spark.sparkContext.getConf().getAll())
+    pairs += [(r["key"], r["value"]) for r in spark.sql("SET").collect()]
+    out = set()
+    for key, val in pairs:
         if (
             key.startswith(prefix)
             and "." not in key[len(prefix) :]
             and "iceberg" in (val or "").lower()
         ):
-            out.append(key[len(prefix) :])
+            out.add(key[len(prefix) :])
     return sorted(out)
 
 
@@ -183,10 +188,27 @@ class IcebergTableIO:
     jar, so the class is exercised for selection logic only.
     """
 
-    def __init__(self, spark: SparkSession, root: str, catalog: str, namespace: str = "walker"):
+    def __init__(
+        self, spark: SparkSession, root: str, catalog: str, namespace: str | None = None
+    ):
         self.spark = spark
         self.root = root
         self.catalog = catalog
+        # namespace derives from the checkpoint root so two Crawlers
+        # sharing one session (e.g. Crawler.loop's per-loop roots) get
+        # disjoint table spaces, mirroring ParquetTableIO's root-relative
+        # isolation (ADVICE r3: a fixed "walker" namespace let loop N's
+        # createOrReplace clobber loop N-1's tables and exists()/read
+        # leak across crawls). Sanitized-root prefix keeps it readable;
+        # the hash suffix disambiguates roots that sanitize identically.
+        if namespace is None:
+            import hashlib
+
+            safe_root = "".join(
+                c if c.isalnum() else "_" for c in root.strip("/")
+            )[-40:].strip("_")
+            digest = hashlib.sha256(root.encode()).hexdigest()[:8]
+            namespace = f"walker_{safe_root}_{digest}" if safe_root else f"walker_{digest}"
         self.namespace = namespace
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
 
