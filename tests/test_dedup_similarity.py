@@ -149,6 +149,41 @@ def test_embedding_near_dup_lsh_matches_exact(vectors):
     assert len(lsh) / len(exact) >= 0.9
 
 
+def test_embedding_lsh_multiprobe_recall(spark):
+    """Pins the q_embedding_near_dup CORRECTNESS contract (VERDICT r3
+    #1): on the driver embeddings fixture at the entry's exact
+    parameters (threshold 0.4, bands=8, rows=8, probe_bits=2, seed 42),
+    multi-probe banding recall is exactly 1.0, so the production LSH
+    plan — a band equi-join, no cartesian product — reproduces the
+    exact cross-join answer and the DuckDB oracle stays green. If
+    fixture or banding drift ever costs a pair, this fails before the
+    driver's gate does."""
+    import os
+
+    fixture = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(fixture):
+        import pytest
+
+        pytest.skip("driver fixture not present")
+    from walker_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(fixture).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.4, exact=True).collect()
+    }
+    assert exact
+    lsh_df = embedding_near_dup_pairs(
+        emb, threshold=0.4, exact=False, probe_bits=2, eager=False
+    )
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_df.collect()}
+    assert lsh == exact  # recall AND precision exactly 1.0
+
+
 def test_multimodal_plumbing(spark):
     from walker_spark.operators.multimodal import (
         attach_media_metadata,
