@@ -184,6 +184,124 @@ def q_crawl_reverse_links(spark, sf):
     ).orderBy("url")
 
 
+def q_crawl_fetch_batch(spark, sf):
+    """W5 — the crown op (VERDICT r3 #2): one politeness round's fetch
+    batch through the PRODUCTION salted exact-top-k operator
+    (politeness.select_fetch_batch, n_salts=8), oracled against the
+    plain unsalted SQL window — the equality IS the salting-identity
+    proof on real data. The frontier derives deterministically from
+    documents with a deliberately hot host (every even doc_id lands on
+    hot.example ≈ half the frontier — the Zipf scenario the salting
+    exists for) and heavy (depth, link_count) ties so the url-asc
+    tiebreak is load-bearing."""
+    from walker_spark.operators.politeness import select_fetch_batch
+
+    docs = _t(spark, sf, "documents")
+    host = F.when(F.col("doc_id") % 2 == 0, F.lit("hot.example")).otherwise(
+        F.concat(F.col("source"), F.lit(".example"))
+    )
+    frontier = docs.select(
+        F.format_string("https://%s/d/%d.html", host, F.col("doc_id")).alias("url"),
+        host.alias("host"),
+        (F.col("doc_id") % 3).cast("long").alias("depth"),
+        ((F.col("doc_id") % 7) * 3).cast("long").alias("link_count"),
+    )
+    return select_fetch_batch(frontier, host_budget=16, n_salts=8).select(
+        "url", "host", "depth", "link_count"
+    ).orderBy("url")
+
+
+def q_crawl_link_filters(spark, sf):
+    """F1-F9 native filter stack oracled end-to-end (VERDICT r3 #3):
+    one round's ``link_candidates`` output over a deterministic
+    documents-derived page set whose raw hrefs exercise EVERY filter —
+    fragment strip (F1, via the real ``normalize_link``), pager links
+    (F2), external host + wrong scheme (F3), depth (F4), ignore prefix
+    (F5), robots Disallow (F6), query-name filter (F7), include
+    prefixes (F8), page nofollow (F9) — plus the min-depth/sum-count
+    frontier merge. The DuckDB oracle re-derives normalization and
+    every predicate in SQL over the same exploded href set; today
+    F2-F9 otherwise rest on the property-test spec only."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from walker_spark.config import CrawlConfig, Target
+    from walker_spark.plans.crawl import link_candidates
+
+    docs = _t(spark, sf, "documents")
+    # raw hrefs per source page; every template targets one filter
+    raws = F.array(
+        F.format_string("/d/%d.html#frag", F.col("doc_id") + 1),  # F1 survivor
+        F.format_string("/d/%d.html", F.col("doc_id") + 1),  # dup → link_count
+        F.format_string("/d/%d.html", F.col("doc_id") + 2),  # cross-page merge
+        F.format_string("/d/%d.html?x=1&y=2", F.col("doc_id") + 3),  # F7 pass
+        F.format_string("/d/%d.html?session=abc", F.col("doc_id") + 2),  # F7 drop
+        F.format_string("https://other.example/d/%d.html", F.col("doc_id")),  # F3 host
+        F.format_string("http://%s.example/d/%d.html", F.col("source"), F.col("doc_id")),  # F3 scheme
+        F.format_string("/d/a/b/c/%d.html", F.col("doc_id")),  # F4 depth>3
+        F.format_string("/private/%d.html", F.col("doc_id")),  # F5
+        F.format_string("/list/%d.html", F.col("doc_id")),  # F8
+        F.format_string("/d/next/%d.html", F.col("doc_id")),  # F2 pager
+        F.format_string("/blocked/%d.html", F.col("doc_id")),  # F6 robots
+    )
+    pages = docs.select(
+        F.format_string(
+            "https://%s.example/d/%d.html", F.col("source"), F.col("doc_id")
+        ).alias("url"),
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
+        (F.col("doc_id") % 3).cast("int").alias("depth"),
+        raws.alias("raw_links"),
+        F.format_string("/d/next/%d.html", F.col("doc_id")).alias("raw_next"),
+        F.struct(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("nofollow"))
+            .otherwise(F.lit(""))
+            .alias("robots")
+        ).alias("structure"),
+    )
+
+    # NOTE: no pd.Series annotations — __future__ annotations in this
+    # module stringifies them and pandas_udf can't resolve the local pd
+    @pandas_udf("array<string>")
+    def norm_links(base, links):
+        from walker_spark.urlnorm import normalize_link
+
+        out = []
+        for b, ls in zip(base, links):
+            ns = [normalize_link(b, l) for l in (ls if ls is not None else [])]
+            out.append([n for n in ns if n is not None])
+        return pd.Series(out)
+
+    @pandas_udf("string")
+    def norm_one(base, link):
+        from walker_spark.urlnorm import normalize_link
+
+        return pd.Series([normalize_link(b, l) or "" for b, l in zip(base, link)])
+
+    results_new = pages.select(
+        "url",
+        "host",
+        "depth",
+        norm_links(F.col("url"), F.col("raw_links")).alias("link_norms"),
+        norm_one(F.col("url"), F.col("raw_next")).alias("link_next_norm"),
+        F.lit("").alias("link_prev_norm"),
+        "structure",
+    )
+    conf = CrawlConfig(
+        target=Target(base_url="https://unused.example", paths=["/d/", "/blocked/"]),
+        depth=3,
+        ignore=["/private/"],
+        ignore_queries_with=["session"],
+        agent="walker-spark",
+    )
+    hosts = [r["source"] + ".example" for r in docs.select("source").distinct().collect()]
+    robots_bodies = {h: "User-agent: *\nDisallow: /blocked/" for h in hosts}
+    cand = link_candidates(results_new, conf, robots_bodies, spark)
+    return cand.select(
+        "url", "host", F.col("depth").cast("long").alias("depth"),
+        F.col("link_count").cast("long").alias("link_count"),
+    ).orderBy("url")
+
+
 def q_a1_event_histogram(spark, sf):
     return (
         _t(spark, sf, "events")
@@ -606,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_status_histogram": q_crawl_status_histogram,
         "crawl_broken_links": q_crawl_broken_links,
         "crawl_reverse_links": q_crawl_reverse_links,
+        "crawl_fetch_batch": q_crawl_fetch_batch,
+        "crawl_link_filters": q_crawl_link_filters,
         "a1_event_histogram": q_a1_event_histogram,
         "a2_latency_buckets": q_a2_latency_buckets,
         "a3_group_counts": q_a3_group_counts,
@@ -873,6 +993,96 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT r.src) AS n_links
             FROM allurls u LEFT JOIN redges r ON r.dst = u.url
             GROUP BY u.url ORDER BY u.url
+        """,
+        # crawl_fetch_batch: the oracle is the UNSALTED per-host window —
+        # the Spark side runs the two-phase salted top-k, so a hash
+        # match proves the salting identity (per-host top-budget ⊆
+        # union of per-salt top-budget) on a frontier where one host
+        # holds ~half the rows.
+        "crawl_fetch_batch": """
+            WITH f AS (
+              SELECT printf('https://%s/d/%d.html',
+                       CASE WHEN doc_id % 2 = 0 THEN 'hot.example'
+                            ELSE source || '.example' END, doc_id) AS url,
+                     CASE WHEN doc_id % 2 = 0 THEN 'hot.example'
+                          ELSE source || '.example' END AS host,
+                     CAST(doc_id % 3 AS BIGINT) AS depth,
+                     CAST((doc_id % 7) * 3 AS BIGINT) AS link_count
+              FROM documents
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY host
+                ORDER BY depth ASC, link_count DESC, url ASC
+              ) AS rn FROM f
+            )
+            SELECT url, host, depth, link_count FROM r
+            WHERE rn <= 16 ORDER BY url
+        """,
+        # crawl_link_filters: full SQL replica of F1-F9 — normalization
+        # (fragment strip + base scheme/host resolution), pager, host/
+        # scheme, depth, ignore-prefix, robots (this rule set is one
+        # Disallow prefix), query names, include prefixes, nofollow —
+        # plus the min-depth/sum-count frontier merge. Every predicate
+        # is recomputed from the raw href text, not echoed from Spark.
+        "crawl_link_filters": """
+            WITH d AS (
+              SELECT doc_id, source || '.example' AS host,
+                     CAST(doc_id % 3 AS BIGINT) AS depth
+              FROM documents
+              WHERE doc_id % 5 <> 0  -- F9: nofollow pages contribute nothing
+            ),
+            links AS (
+              SELECT doc_id, host, depth,
+                     unnest([
+                       printf('/d/%d.html#frag', doc_id + 1),
+                       printf('/d/%d.html', doc_id + 1),
+                       printf('/d/%d.html', doc_id + 2),
+                       printf('/d/%d.html?x=1&y=2', doc_id + 3),
+                       printf('/d/%d.html?session=abc', doc_id + 2),
+                       printf('https://other.example/d/%d.html', doc_id),
+                       printf('http://%s/d/%d.html', host, doc_id),
+                       printf('/d/a/b/c/%d.html', doc_id),
+                       printf('/private/%d.html', doc_id),
+                       printf('/list/%d.html', doc_id),
+                       printf('/d/next/%d.html', doc_id),
+                       printf('/blocked/%d.html', doc_id)
+                     ]) AS raw
+              FROM d
+            ),
+            norm AS (
+              SELECT doc_id, host, depth,
+                     CASE WHEN raw LIKE '%://%' THEN split_part(raw, '#', 1)
+                          ELSE 'https://' || host || split_part(raw, '#', 1)
+                     END AS link
+              FROM links
+            ),
+            parts AS (
+              SELECT *,
+                     regexp_extract(link, '^([a-z]+)://', 1) AS lscheme,
+                     regexp_extract(link, '^[a-z]+://([^/?#]*)', 1) AS lhost,
+                     regexp_extract(link, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS lpath,
+                     CASE WHEN link LIKE '%?%' THEN split_part(link, '?', 2)
+                          ELSE '' END AS lquery
+              FROM norm
+            ),
+            filtered AS (
+              SELECT * FROM parts
+              WHERE link <> printf('https://%s/d/next/%d.html', host, doc_id)
+                AND lhost = host AND lscheme = 'https'
+                AND len(string_split(lpath, '/')) - 1 <= 3
+                AND lpath NOT LIKE '/private/%'
+                AND NOT list_contains(
+                      list_transform(string_split(lquery, '&'),
+                                     s -> split_part(s, '=', 1)),
+                      'session')
+                AND (lpath LIKE '/d/%' OR lpath LIKE '/blocked/%')
+                AND lpath NOT LIKE '/blocked/%'
+            )
+            SELECT link AS url, lhost AS host,
+                   min(depth) + 1 AS depth,
+                   CAST(count(*) AS BIGINT) AS link_count
+            FROM filtered GROUP BY link, lhost ORDER BY url
         """,
         "a1_event_histogram": """
             SELECT event_type, count(*) AS cnt FROM events
