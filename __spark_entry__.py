@@ -206,9 +206,9 @@ def q_crawl_fetch_batch(spark, sf):
         (F.col("doc_id") % 3).cast("long").alias("depth"),
         ((F.col("doc_id") % 7) * 3).cast("long").alias("link_count"),
     )
-    return select_fetch_batch(frontier, host_budget=16, n_salts=8).select(
-        "url", "host", "depth", "link_count"
-    ).orderBy("url")
+    return select_fetch_batch(
+        frontier, host_budget=16, n_salts=8, strategy="salted"
+    ).select("url", "host", "depth", "link_count").orderBy("url")
 
 
 def q_crawl_link_filters(spark, sf):

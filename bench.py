@@ -90,11 +90,26 @@ def _spark(cores: int):
     return s
 
 
-def gen_site(spark, n_hosts: int, n_pages: int) -> dict[str, str]:
+def gen_site(
+    spark,
+    n_hosts: int,
+    n_pages: int,
+    zipf_s: float = 1.2,
+    min_host_pages: int = 1,
+) -> dict[str, str]:
     from walker_spark.sources.synthetic import SiteSpec, write_pages_tables
 
-    out = f"/tmp/walker_spark_bench_site_v3_{n_hosts}x{n_pages}"
-    spec = SiteSpec(seed=42, n_hosts=n_hosts, n_pages=n_pages)
+    out = (
+        f"/tmp/walker_spark_bench_site_v3_{n_hosts}x{n_pages}"
+        + (f"_z{zipf_s}m{min_host_pages}" if (zipf_s, min_host_pages) != (1.2, 1) else "")
+    )
+    spec = SiteSpec(
+        seed=42,
+        n_hosts=n_hosts,
+        n_pages=n_pages,
+        zipf_s=zipf_s,
+        min_host_pages=min_host_pages,
+    )
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return {
@@ -117,26 +132,33 @@ def gen_site(spark, n_hosts: int, n_pages: int) -> dict[str, str]:
     return paths
 
 
-def run_kernel(spark, paths, tag: str) -> dict:
+def run_kernel(spark, paths, tag: str, host_budget: int = 0, n_salts: int = 8) -> dict:
     """One mega-round: the whole pages table is the frontier; schedule,
     fetch-join, extract, filter, and seen-anti-join it in a single BSP
-    superstep (max_rounds=1)."""
+    superstep (max_rounds=1). ``host_budget`` > 0 runs the politeness
+    selection for real (the skew benches); ``n_salts=1`` is the
+    no-salting counterfactual — a plain per-host window."""
     from walker_spark.config import CrawlConfig, Target
     from walker_spark.plans.crawl import Crawler
     from walker_spark.sources.synthetic import host_name
     from walker_spark.sources.tables import register_bucketed_table
 
     # co-located fetch join: pages bucketed by url, catalog re-registered
-    # per session (bucket metadata lives in the catalog, not the files)
+    # per session (bucket metadata lives in the catalog, not the files;
+    # per-tag table name so multiple sites can coexist in one session)
     pages = register_bucketed_table(
-        spark, paths["pages_bucketed"], table="pages_bucketed_kernel", buckets=BUCKETS
+        spark,
+        paths["pages_bucketed"],
+        table=f"pages_bucketed_kernel_{tag}",
+        buckets=BUCKETS,
     )
     conf = CrawlConfig(
         target=Target(base_url=f"https://{host_name(0)}", paths=["/"]),
         # budget 0 = whole frontier in one batch: politeness windows with
         # budget ≥ frontier degenerate into a full per-host sort (the
         # real windows are exercised by the budgeted full-crawl bench)
-        host_budget=0,
+        host_budget=host_budget,
+        hot_host_salts=n_salts,
         agent="walker-spark",
         group_header="group",
         max_rounds=1,
@@ -210,6 +232,55 @@ def run_crawl(spark, paths, tag: str) -> dict:
         "rounds": summary["rounds"],
         "urls_per_sec": round(summary["total_fetched"] / wall, 2),
     }
+
+
+def _gen_frontier(spark, n_rows: int, skewed: bool) -> str:
+    """Materialize an ids-only frontier (url/host/depth/link_count — the
+    real frontier schema, no html) to parquet so the select bench
+    measures the WINDOW, not 48M format_string generations. ``skewed``
+    puts HALF the frontier on one host."""
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/walker_spark_frontier_{n_rows}_{'skew' if skewed else 'uni'}"
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    base = spark.range(n_rows)
+    if skewed:
+        host = F.when(F.col("id") % 2 == 0, F.lit("hot.example")).otherwise(
+            F.format_string("host-%04d.example", (F.col("id") % 23).cast("int"))
+        )
+    else:
+        host = F.format_string("host-%04d.example", (F.col("id") % 24).cast("int"))
+    base.select(
+        F.format_string("https://%s/p/%d", host, F.col("id")).alias("url"),
+        host.alias("host"),
+        (F.col("id") % 10).cast("int").alias("depth"),
+        ((F.col("id") * 37) % 1000).cast("int").alias("link_count"),
+    ).write.mode("overwrite").parquet(out)
+    return out
+
+
+def run_select_bench(
+    spark, n_rows: int, skewed: bool, strategy: str, budget: int = 2000
+) -> dict:
+    """Politeness-selection micro-bench over a pre-materialized frontier.
+
+    ``budget`` defaults to 2000 — deliberately ABOVE Spark's
+    windowGroupLimitThreshold (1000), the regime where Catalyst does
+    NOT insert partial group limits: a ``plain`` per-host window must
+    shuffle every row and sort the hot host's half of the frontier on
+    ONE task, while ``salted`` spreads it over n_salts shards. (At
+    budgets ≤ the threshold the optimizer's map-side top-k makes the
+    plain window both cheapest and skew-immune — that's strategy='auto'
+    in the operator; this bench records the above-threshold evidence
+    the north rule's salting clause is about.)"""
+    from walker_spark.operators.politeness import select_fetch_batch
+
+    frontier = spark.read.parquet(_gen_frontier(spark, n_rows, skewed))
+    t0 = time.time()
+    n = select_fetch_batch(frontier, budget, n_salts=8, strategy=strategy).count()
+    wall = time.time() - t0
+    return {"wall": round(wall, 2), "selected": n, "rows": n_rows}
 
 
 def _kernel_subprocess(cores: int, paths: dict) -> dict:
@@ -292,6 +363,51 @@ def main():
     out["queries"]["crawl_kernel"] = kernel_hi["wall"]
     total += kernel_hi["wall"]
     out["kernel"] = {f"local[{CPUS}]": kernel_hi}
+
+    # --- skew evidence (VERDICT r3 #4) ---
+    # (a) Budgeted kernel on a Zipf site where ONE host owns >50% of the
+    #     pages, vs a uniform site of the same total size and the same
+    #     per-host budget (every host holds >= budget pages on both
+    #     sites, so fetch volume is identical). kernel_skewed should sit
+    #     within ~1.3x of kernel_uniform; the n_salts=1 run is the
+    #     no-salting counterfactual at kernel level.
+    # (b) Politeness-select micro-bench at a frontier size where the
+    #     window IS the measurement (no html, no fetch): half the rows
+    #     on one host. This is where the unsalted window's single-task
+    #     sort shows up undiluted.
+    if os.environ.get("SPARK_GRAFT_SKIP_SKEW", "") != "1":
+        skew_pages = int(os.environ.get("SPARK_GRAFT_SKEW_PAGES", "240000"))
+        skew_budget = int(os.environ.get("SPARK_GRAFT_SKEW_BUDGET", "2000"))
+        upaths = gen_site(spark, N_HOSTS, skew_pages, zipf_s=0.0)
+        zpaths = gen_site(
+            spark, N_HOSTS, skew_pages, zipf_s=2.0, min_host_pages=skew_budget
+        )
+        skew = {
+            "kernel_uniform": run_kernel(
+                spark, upaths, "skewuni", host_budget=skew_budget
+            ),
+            "kernel_skewed": run_kernel(
+                spark, zpaths, "skewhot", host_budget=skew_budget
+            ),
+            "kernel_skewed_nosalt": run_kernel(
+                spark, zpaths, "skewhot1", host_budget=skew_budget, n_salts=1
+            ),
+        }
+        skew["kernel_skew_ratio"] = round(
+            skew["kernel_skewed"]["wall"] / skew["kernel_uniform"]["wall"], 3
+        )
+        sel_rows = int(os.environ.get("SPARK_GRAFT_SELECT_ROWS", "48000000"))
+        run_select_bench(spark, 1_000_000, False, "plain")  # warm the path
+        skew["select_uniform"] = run_select_bench(spark, sel_rows, False, "salted")
+        skew["select_skewed"] = run_select_bench(spark, sel_rows, True, "salted")
+        skew["select_skewed_nosalt"] = run_select_bench(spark, sel_rows, True, "plain")
+        skew["select_salting_speedup"] = round(
+            skew["select_skewed_nosalt"]["wall"] / skew["select_skewed"]["wall"], 2
+        )
+        out["skew"] = skew
+        out["queries"]["kernel_skewed"] = skew["kernel_skewed"]["wall"]
+        out["queries"]["kernel_uniform"] = skew["kernel_uniform"]["wall"]
+        total += skew["kernel_skewed"]["wall"] + skew["kernel_uniform"]["wall"]
     spark.stop()
 
     if not SKIP_SCALING:

@@ -36,8 +36,11 @@ class SiteSpec:
     seed: int = 42
     n_hosts: int = 10
     n_pages: int = 1000  # total across hosts (power-law split)
-    zipf_s: float = 1.2
+    zipf_s: float = 1.2  # 0.0 = uniform host sizes
     scheme: str = "https"
+    # floor per-host page count (skew benches: every host must hold at
+    # least the politeness budget so fetch volume matches across sites)
+    min_host_pages: int = 1
 
     def host(self, h: int) -> str:
         return host_name(h)
@@ -52,11 +55,12 @@ def page_count_per_host(spec: SiteSpec) -> list[int]:
     each host ≥ 1. Host 0 is the hot host."""
     weights = [(r + 1) ** -spec.zipf_s for r in range(spec.n_hosts)]
     total_w = sum(weights)
-    counts = [max(1, int(spec.n_pages * w / total_w)) for w in weights]
+    floor = max(1, spec.min_host_pages)
+    counts = [max(floor, int(spec.n_pages * w / total_w)) for w in weights]
     # fix rounding drift onto the hot host
     counts[0] += spec.n_pages - sum(counts)
-    if counts[0] < 1:
-        counts[0] = 1
+    if counts[0] < floor:
+        counts[0] = floor
     return counts
 
 
