@@ -2,18 +2,23 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
-signatures, partitioning) is real and tested, and — new in r3 — so are
-two pure-stdlib decoders behind the ``_real_decode`` seam:
+signatures, partitioning) is real and tested, and so are three
+pure-stdlib/numpy decoders behind the ``_real_decode`` seam:
 
-* **PNG** — full chunk walk with CRC verification, IHDR parse, IDAT
-  zlib-decompress, scanline unfilter (filter types 0-4) for 8-bit
+* **PNG** (r3) — full chunk walk with CRC verification, IHDR parse,
+  IDAT zlib-decompress, scanline unfilter (filter types 0-4) for 8-bit
   RGB/RGBA/grayscale. No image library involved.
-* **WAV** — stdlib ``wave`` module: frames → int16 samples, duration,
-  per-segment RMS features.
+* **WAV** (r3) — stdlib ``wave`` module: frames → int16 samples,
+  duration, per-segment RMS features.
+* **baseline JPEG** (r4) — marker walk, DQT/DHT parse, Huffman entropy
+  decode with byte unstuffing and restart handling, dequantize,
+  inverse zigzag, IDCT, YCbCr→RGB; plus a matching grayscale encoder
+  (Annex-K tables) as the fixture generator.
 
-Other media kinds (video, lossy codecs) still raise
-``NotImplementedError`` at the same seam — production swaps in a real
-decoder with the same ``(blob, kind) -> Decoded`` signature. The
+Other media kinds (video, MP3, progressive/subsampled JPEG) still raise
+``NotImplementedError``/``ValueError`` at the same seam — production
+swaps in a real decoder with the same ``(blob, kind) -> Decoded``
+signature; such rows surface as ok=false, never task failures. The
 deterministic ``fake_decode`` remains for plumbing-speed tests.
 """
 
@@ -43,6 +48,8 @@ __all__ = [
     "decode_png",
     "encode_wav",
     "decode_wav",
+    "encode_jpeg",
+    "decode_jpeg",
     "synth_media_df",
 ]
 
@@ -233,12 +240,402 @@ def decode_wav(blob: bytes) -> Decoded:
     return Decoded(feat, 0, 0, duration_ms)
 
 
+# ---------------------------------------------------------------- JPEG
+# Baseline sequential DCT (SOF0), from scratch on struct/numpy — no
+# image library. Encoder emits single-component (grayscale) baseline
+# JPEGs with the Annex-K tables (the fixture generator); the decoder
+# handles 1- or 3-component baseline streams with 1x1 sampling (no
+# chroma subsampling), byte unstuffing, and DRI/RSTn restart markers.
+# Progressive (SOF2), arithmetic coding, and subsampled layouts raise —
+# those rows surface as ok=false in the pipeline, like any unsupported
+# codec at the _real_decode seam.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 luminance quantization table (row-major)
+_JPEG_LUM_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+# Annex K.3 / K.5 luminance Huffman specs: (BITS[1..16], HUFFVAL)
+_JPEG_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: FDCT = C @ X @ C.T, IDCT = C.T @ X @ C."""
+    n = np.arange(8)
+    C = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2.0
+    C[0, :] /= np.sqrt(2.0)
+    return C
+
+
+_DCT_C = _dct_matrix()
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value → (code, length), canonical JPEG assignment (C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC coefficient (F.1.2)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal valid baseline grayscale JPEG with deterministic pixels
+    (same ``(idx*31 + seed*7919) % 256`` arithmetic as :func:`encode_png`)
+    and the Annex-K luminance quant/Huffman tables. The JPEG leg of the
+    multimodal fixture generator."""
+    idx = np.arange(width * height, dtype=np.int64)
+    img = ((idx * 31 + seed * 7919) % 256).astype(np.float64).reshape(height, width)
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    padded = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge") - 128.0
+    q = _JPEG_LUM_Q.reshape(8, 8).astype(np.float64)
+    dc_codes = _huff_codes(*_JPEG_DC_LUM)
+    ac_codes = _huff_codes(*_JPEG_AC_LUM)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8]
+            coef = _DCT_C @ block @ _DCT_C.T
+            quant = np.round(coef / q).astype(np.int64)
+            zz = quant.reshape(-1)[_ZIGZAG]
+            size, bits = _mag_bits(int(zz[0]) - prev_dc)
+            prev_dc = int(zz[0])
+            c, l = dc_codes[size]
+            w.put(c, l)
+            if size:
+                w.put(bits, size)
+            run = 0
+            for v in zz[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    c, l = ac_codes[0xF0]  # ZRL
+                    w.put(c, l)
+                    run -= 16
+                size, bits = _mag_bits(int(v))
+                c, l = ac_codes[(run << 4) | size]
+                w.put(c, l)
+                w.put(bits, size)
+                run = 0
+            if run:
+                c, l = ac_codes[0x00]  # EOB
+                w.put(c, l)
+    scan = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(int(_JPEG_LUM_Q[i]) for i in _ZIGZAG))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4, b"\x00" + bytes(_JPEG_DC_LUM[0]) + bytes(_JPEG_DC_LUM[1])
+    ) + seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_LUM[0]) + bytes(_JPEG_AC_LUM[1]))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    """Entropy-segment reader: unstuffs 0xFF00, surfaces RSTn markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(self.pos)
+            else:
+                raise EOFError("marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+class _RestartMarker(Exception):
+    """Raised when an RSTn surfaces inside entropy data — reaching one
+    outside the restart-boundary accounting means a corrupt stream, and
+    it propagates to an ok=false row like any decode error."""
+
+    def __init__(self, pos: int) -> None:
+        self.pos = pos
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    return {(l, c): v for v, (c, l) in _huff_codes(bits, vals).items()}
+
+
+def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bits(1)
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(blob: bytes) -> Decoded:
+    """Decode a baseline sequential JPEG (SOF0, Huffman, 1x1 sampling,
+    1 or 3 components): full marker walk, DQT/DHT parse, entropy decode
+    with unstuffing + restart handling, dequantize, inverse zigzag,
+    IDCT, YCbCr→RGB for color. Features mirror :func:`decode_png`
+    (dims + per-channel mean/std)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    comps: list[dict] = []
+    width = height = None
+    restart_interval = 0
+    scan_comps: list[dict] = []
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = struct.unpack_from(">H", blob, pos)[0]
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack_from(">H", blob, pos + 2)
+        data = blob[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                n = 64 * (2 if pq else 1)
+                raw = data[i + 1 : i + 1 + n]
+                tbl = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                )
+                dezig = np.zeros(64, dtype=np.int64)
+                dezig[_ZIGZAG] = tbl
+                qt[tq] = dezig.reshape(8, 8)
+                i += 1 + n
+        elif marker == 0xFFC4:
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0xF
+                bits = list(data[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(data[i + 17 : i + 17 + nv])
+                huff[(tc, th)] = _huff_decoder(bits, vals)
+                i += 17 + nv
+        elif marker == 0xFFC0:
+            _prec, height, width, nc = struct.unpack_from(">BHHB", data, 0)
+            for c in range(nc):
+                cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "unsupported JPEG chroma subsampling (only 1x1)"
+                    )
+                comps.append({"id": cid, "tq": tq})
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError("unsupported JPEG coding process (baseline only)")
+        elif marker == 0xFFDD:
+            (restart_interval,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xFFDA:
+            ns = data[0]
+            for c in range(ns):
+                cid, tables = data[1 + 2 * c], data[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                scan_comps.append(
+                    {**comp, "dc": tables >> 4, "ac": tables & 0xF}
+                )
+            pos += 2 + length
+            break
+        pos += 2 + length
+    if width is None or not scan_comps:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    mcus_x = (width + 7) // 8
+    mcus_y = (height + 7) // 8
+    planes = [
+        np.zeros((mcus_y * 8, mcus_x * 8), dtype=np.float64) for _ in scan_comps
+    ]
+    r = _BitReader(blob, pos)
+    preds = [0] * len(scan_comps)
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align, consume the RSTn, reset DC predictors
+                r.acc = 0
+                r.nbits = 0
+                if (
+                    r.data[r.pos] == 0xFF
+                    and 0xD0 <= r.data[r.pos + 1] <= 0xD7
+                ):
+                    r.pos += 2
+                preds = [0] * len(scan_comps)
+            for ci, comp in enumerate(scan_comps):
+                zz = np.zeros(64, dtype=np.int64)
+                size = _read_symbol(r, huff[(0, comp["dc"])])
+                diff = _extend(r.bits(size), size) if size else 0
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = _read_symbol(r, huff[(1, comp["ac"])])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    zz[k] = _extend(r.bits(size), size)
+                    k += 1
+                block = np.zeros(64, dtype=np.int64)
+                block[_ZIGZAG] = zz
+                deq = block.reshape(8, 8) * qt[comp["tq"]]
+                pix = _DCT_C.T @ deq.astype(np.float64) @ _DCT_C + 128.0
+                planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = pix
+            mcu += 1
+    planes = [p[:height, :width] for p in planes]
+    if len(planes) == 3:
+        y, cb, cr = planes
+        rgb = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=-1,
+        )
+        px = np.clip(rgb, 0, 255).astype(np.float32)
+    else:
+        px = np.clip(planes[0], 0, 255).astype(np.float32)[:, :, None]
+    feat = np.zeros(N_FEAT, dtype=np.float32)
+    feat[0], feat[1] = float(width), float(height)
+    for c in range(min(px.shape[2], 4)):
+        feat[2 + 2 * c] = float(px[:, :, c].mean())
+        feat[3 + 2 * c] = float(px[:, :, c].std())
+    return Decoded(feat, width, height, 0)
+
+
 def _real_decode(blob: bytes, kind: str) -> Decoded:
-    """Stdlib decoder seam: PNG + WAV decode for real; other kinds
-    (video, JPEG, MP3, ...) need codecs this environment doesn't ship —
-    inject a decoder with the same signature for those."""
+    """Stdlib decoder seam: PNG + baseline JPEG + WAV decode for real;
+    other kinds (video, MP3, progressive/subsampled JPEG, ...) need
+    codecs this environment doesn't ship — inject a decoder with the
+    same signature for those."""
     if kind == "image" and blob[:8] == _PNG_SIG:
         return decode_png(blob)
+    if kind == "image" and blob[:2] == b"\xff\xd8":
+        return decode_jpeg(blob)
     if kind == "audio" and blob[:4] == b"RIFF":
         return decode_wav(blob)
     raise NotImplementedError(
@@ -311,12 +708,15 @@ def decode_and_featurize(
 
 def synth_media_df(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic media fixtures, generated DISTRIBUTED (mapInPandas,
-    no driver-side blobs): even ids → PNG with width = 4 + id % 13,
-    height = 3 + id % 7; odd ids → 8 kHz WAV with
-    n_samples = 800 + 40 * (id % 50) (duration_ms = 100 + 5 * (id % 50)).
-    The dimension arithmetic is intentionally trivial so a SQL oracle
-    can recompute the expected (width, height, duration_ms) per id and
-    cross-check the real decoders' output."""
+    no driver-side blobs): even ids → image with width = 4 + id % 13,
+    height = 3 + id % 7 — PNG normally, baseline JPEG when id % 4 == 0
+    (same dimension arithmetic, so the SQL oracle is unchanged and now
+    also proves the JPEG decoder extracted dims from real entropy-coded
+    bytes); odd ids → 8 kHz WAV with n_samples = 800 + 40 * (id % 50)
+    (duration_ms = 100 + 5 * (id % 50)). The dimension arithmetic is
+    intentionally trivial so a SQL oracle can recompute the expected
+    (width, height, duration_ms) per id and cross-check the real
+    decoders' output."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -328,9 +728,10 @@ def synth_media_df(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 i = int(getattr(t, id_col))
                 if i % 2 == 0:
                     w, h = 4 + i % 13, 3 + i % 7
-                    blob = encode_png(w, h, seed=i)
+                    jpeg = i % 4 == 0
+                    blob = encode_jpeg(w, h, seed=i) if jpeg else encode_png(w, h, seed=i)
                     out["kind"].append("image")
-                    out["mime"].append("image/png")
+                    out["mime"].append("image/jpeg" if jpeg else "image/png")
                     out["width"].append(w)
                     out["height"].append(h)
                     out["duration_ms"].append(0)
