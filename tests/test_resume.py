@@ -69,7 +69,7 @@ def test_seen_compaction_resume_exact(spark, tmp_path):
     not change anything observable: same rounds, same seen set, same
     results as an uncompacted run, including across a kill/resume that
     straddles a compaction point."""
-    spec = SiteSpec(seed=11, n_hosts=2, n_pages=40)
+    spec = SiteSpec(seed=11, n_hosts=2, n_pages=28)
     paths = write_pages_tables(spark, spec, str(tmp_path / "site"))
     store = build_store(spec)
 
@@ -81,17 +81,19 @@ def test_seen_compaction_resume_exact(spark, tmp_path):
 
     plain = mk(str(tmp_path / "plain"))
     s_plain = plain.run()
-    assert s_plain["rounds"] >= 7  # ≥2 compaction points at every 3 rounds
+    assert s_plain["rounds"] >= 5  # ≥2 compaction points at every 2 rounds
 
-    # One compacted crawl, killed after 4 rounds (straddles the 3-round
+    # One compacted crawl, killed after 3 rounds (straddles the 2-round
     # compaction point) and resumed: comparing its final state against
     # the UNcompacted uninterrupted run proves both properties at once —
     # compaction changes nothing observable AND resume across a
     # compaction boundary is exact. (r3: the previous extra full
-    # compacted run asserted a subset of this, for 1/3 more wall.)
-    part = mk(str(tmp_path / "part"), max_rounds=4, compact_every=3)
+    # compacted run asserted a subset of this, for 1/3 more wall; r4:
+    # 28 pages / compact-every-2 keeps two straddled compaction points
+    # with ~2 fewer driver rounds per crawl.)
+    part = mk(str(tmp_path / "part"), max_rounds=3, compact_every=2)
     part.run()
-    resumed = mk(str(tmp_path / "part"), compact_every=3)
+    resumed = mk(str(tmp_path / "part"), compact_every=2)
     s_res = resumed.run(resume=True)
     assert s_res["rounds"] == s_plain["rounds"]  # total rounds, absolute
     assert os.path.isdir(os.path.join(str(tmp_path / "part"), "seen_compact"))

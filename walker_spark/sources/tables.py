@@ -30,6 +30,7 @@ __all__ = [
     "IcebergTableIO",
     "make_table_io",
     "iceberg_catalogs",
+    "namespace_for_root",
     "atomic_write_json",
     "read_json",
     "write_bucketed_table",
@@ -175,6 +176,23 @@ def iceberg_catalogs(spark: SparkSession) -> list[str]:
     return sorted(out)
 
 
+def namespace_for_root(root: str) -> str:
+    """Iceberg namespace derived from the checkpoint root so two
+    Crawlers sharing one session (e.g. ``Crawler.loop``'s per-loop
+    roots) get disjoint table spaces, mirroring ParquetTableIO's
+    root-relative isolation (ADVICE r3: a fixed "walker" namespace let
+    loop N's createOrReplace clobber loop N-1's tables and
+    exists()/read leak across crawls). Sanitized-root suffix keeps it
+    readable; the hash disambiguates roots that sanitize identically."""
+    import hashlib
+
+    safe_root = "".join(c if c.isalnum() else "_" for c in root.strip("/"))[
+        -40:
+    ].strip("_")
+    digest = hashlib.sha256(root.encode()).hexdigest()[:8]
+    return f"walker_{safe_root}_{digest}" if safe_root else f"walker_{digest}"
+
+
 class IcebergTableIO:
     """Iceberg-backed TableIO: same interface as :class:`ParquetTableIO`
     with logical names mapped to catalog tables (``name`` path segments
@@ -194,23 +212,8 @@ class IcebergTableIO:
         self.spark = spark
         self.root = root
         self.catalog = catalog
-        # namespace derives from the checkpoint root so two Crawlers
-        # sharing one session (e.g. Crawler.loop's per-loop roots) get
-        # disjoint table spaces, mirroring ParquetTableIO's root-relative
-        # isolation (ADVICE r3: a fixed "walker" namespace let loop N's
-        # createOrReplace clobber loop N-1's tables and exists()/read
-        # leak across crawls). Sanitized-root prefix keeps it readable;
-        # the hash suffix disambiguates roots that sanitize identically.
-        if namespace is None:
-            import hashlib
-
-            safe_root = "".join(
-                c if c.isalnum() else "_" for c in root.strip("/")
-            )[-40:].strip("_")
-            digest = hashlib.sha256(root.encode()).hexdigest()[:8]
-            namespace = f"walker_{safe_root}_{digest}" if safe_root else f"walker_{digest}"
-        self.namespace = namespace
-        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+        self.namespace = namespace or namespace_for_root(root)
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{self.namespace}")
 
     def _ident(self, name: str) -> str:
         safe = "".join(c if c.isalnum() else "_" for c in name.strip("/"))
