@@ -404,6 +404,12 @@ def main():
         skew["select_salting_speedup"] = round(
             skew["select_skewed_nosalt"]["wall"] / skew["select_skewed"]["wall"], 2
         )
+        # below the WindowGroupLimit threshold the PLAIN window is
+        # skew-immune (Catalyst's map-side partial top-k = free
+        # salting) — the counterpart evidence for strategy='auto'
+        skew["select_skewed_wgl_plain"] = run_select_bench(
+            spark, sel_rows, True, "plain", budget=800
+        )
         out["skew"] = skew
         out["queries"]["kernel_skewed"] = skew["kernel_skewed"]["wall"]
         out["queries"]["kernel_uniform"] = skew["kernel_uniform"]["wall"]
