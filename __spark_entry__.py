@@ -661,6 +661,25 @@ def q_multimodal_decode(spark, sf):
     )
 
 
+def q_multimodal_resize(spark, sf):
+    """Distributed nearest-neighbor image resize (r4): decode real PNG
+    bytes → pixel array → 8×6 resize → channel-0 pixel sum + corner
+    pixels. The floor mapping ``src = (dst*src_dim)//dst_dim`` plus the
+    fixture's deterministic pixel arithmetic make every output scalar
+    recomputable in SQL — a hash match proves pixels were decoded,
+    indexed, and summed for real. PNG legs only (JPEG is lossy, so its
+    pixels aren't SQL-derivable; the JPEG path is pytest-covered)."""
+    from walker_spark.operators.multimodal import resize_images, synth_media_df
+
+    d = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") < 64) & (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 4 != 0)
+    )
+    media = synth_media_df(d)
+    return resize_images(media, out_w=8, out_h=6, method="nearest").select(
+        "media_id", "ok", "out_w", "out_h", "pix_sum", "px_first", "px_last"
+    ).orderBy("media_id")
+
+
 def q_ann_cosine_topk(spark, sf):
     from walker_spark.operators.similarity import cosine_topk
 
@@ -753,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1361,6 +1381,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7 ELSE 0 END AS INT) AS height,
                    CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 100 + 5 * (doc_id % 50) END AS INT) AS duration_ms
             FROM documents WHERE doc_id < 64 ORDER BY media_id
+        """,
+        # multimodal_resize: the oracle RE-DERIVES every resized pixel —
+        # src index via the floor mapping, pixel value via the fixture's
+        # (idx*31 + id*7919) % 256 arithmetic — then sums channel 0.
+        # Matching pix_sum/corners proves real decode + resize, not an
+        # echo of metadata.
+        "multimodal_resize": """
+            WITH img AS (
+              SELECT doc_id AS media_id,
+                     4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+              FROM documents
+              WHERE doc_id < 64 AND doc_id % 2 = 0 AND doc_id % 4 <> 0
+            ),
+            px AS (
+              SELECT i.media_id, gy.y, gx.x,
+                     (((((gy.y * i.h) // 6) * i.w + ((gx.x * i.w) // 8)) * 3) * 31
+                      + i.media_id * 7919) % 256 AS v
+              FROM img i
+              CROSS JOIN generate_series(0, 5) AS gy(y)
+              CROSS JOIN generate_series(0, 7) AS gx(x)
+            )
+            SELECT media_id, TRUE AS ok,
+                   CAST(8 AS INT) AS out_w, CAST(6 AS INT) AS out_h,
+                   CAST(sum(v) AS BIGINT) AS pix_sum,
+                   CAST(max(CASE WHEN y = 0 AND x = 0 THEN v END) AS INT) AS px_first,
+                   CAST(max(CASE WHEN y = 5 AND x = 7 THEN v END) AS INT) AS px_last
+            FROM px GROUP BY media_id ORDER BY media_id
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),

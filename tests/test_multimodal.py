@@ -83,6 +83,42 @@ def test_jpeg_in_synth_pipeline(spark):
             assert (r["width"], r["height"]) == (4 + i % 13, 3 + i % 7)
 
 
+def test_resize_images_pipeline(spark):
+    """resize_images (r4): nearest matches the hand formula on PNG
+    pixels, JPEG legs resize without error (lossy pixels, exact dims),
+    bilinear stays in range, and a corrupt blob yields ok=false."""
+    from walker_spark.operators.multimodal import (
+        encode_png,
+        image_pixels,
+        resize_images,
+        resize_nearest,
+        synth_media_df,
+    )
+
+    ids = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    media = synth_media_df(ids)
+    out = {r["media_id"]: r for r in resize_images(media, 8, 6).collect()}
+    for i in range(0, 24, 2):  # image legs (PNG and JPEG)
+        assert out[i]["ok"], (i, out[i]["err"])
+        assert (out[i]["out_w"], out[i]["out_h"]) == (8, 6)
+    for i in range(1, 24, 2):  # WAV legs: not an image -> ok=false
+        assert not out[i]["ok"]
+    # PNG legs: pix_sum equals a local recompute through the same op
+    for i in (2, 6, 10):
+        px = resize_nearest(image_pixels(encode_png(4 + i % 13, 3 + i % 7, seed=i)), 8, 6)
+        assert out[i]["pix_sum"] == int(px[:, :, 0].astype("int64").sum())
+    # bilinear runs end-to-end and stays in byte range
+    bl = {r["media_id"]: r for r in resize_images(media, 5, 4, method="bilinear").collect()}
+    for i in range(0, 24, 2):
+        assert bl[i]["ok"] and 0 <= bl[i]["px_first"] <= 255
+    # corrupt blob -> ok=false row, not a task failure
+    import pyspark.sql.functions as SF
+
+    bad = media.withColumn("blob", SF.expr("substring(blob, 1, 10)"))
+    rows = resize_images(bad, 8, 6).collect()
+    assert rows and all(not r["ok"] for r in rows)
+
+
 def test_png_unfilter_all_types():
     """Sub/Up/Average/Paeth filters must invert exactly (the encoder
     only emits type 0; real-world PNGs use all five)."""

@@ -50,6 +50,13 @@ __all__ = [
     "decode_wav",
     "encode_jpeg",
     "decode_jpeg",
+    "png_pixels",
+    "jpeg_pixels",
+    "image_pixels",
+    "resize_nearest",
+    "resize_bilinear",
+    "resize_images",
+    "RESIZE_SCHEMA",
     "synth_media_df",
 ]
 
@@ -157,6 +164,19 @@ def decode_png(blob: bytes) -> Decoded:
     """Parse + fully decode an 8-bit grayscale/RGB/RGBA PNG: chunk CRCs
     verified, IDAT inflated, scanlines unfiltered. Features: per-channel
     mean/std + dims, padded to N_FEAT."""
+    px = png_pixels(blob)
+    height, width, channels = px.shape
+    feat = np.zeros(N_FEAT, dtype=np.float32)
+    feat[0], feat[1] = float(width), float(height)
+    for c in range(min(channels, 4)):
+        feat[2 + 2 * c] = float(px[:, :, c].mean())
+        feat[3 + 2 * c] = float(px[:, :, c].std())
+    return Decoded(feat, width, height, 0)
+
+
+def png_pixels(blob: bytes) -> "np.ndarray":
+    """Fully decoded PNG pixel array, (height, width, channels) float32
+    in [0, 255] — the pixel-level entry the resize/feature ops share."""
     if blob[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -187,13 +207,7 @@ def decode_png(blob: bytes) -> Decoded:
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     px = _unfilter(zlib.decompress(bytes(idat)), width, height, channels)
-    px = px.reshape(height, width, channels).astype(np.float32)
-    feat = np.zeros(N_FEAT, dtype=np.float32)
-    feat[0], feat[1] = float(width), float(height)
-    for c in range(min(channels, 4)):
-        feat[2 + 2 * c] = float(px[:, :, c].mean())
-        feat[3 + 2 * c] = float(px[:, :, c].std())
-    return Decoded(feat, width, height, 0)
+    return px.reshape(height, width, channels).astype(np.float32)
 
 
 # ---------------------------------------------------------------- WAV
@@ -488,6 +502,19 @@ def decode_jpeg(blob: bytes) -> Decoded:
     with unstuffing + restart handling, dequantize, inverse zigzag,
     IDCT, YCbCr→RGB for color. Features mirror :func:`decode_png`
     (dims + per-channel mean/std)."""
+    px = jpeg_pixels(blob)
+    height, width, channels = px.shape
+    feat = np.zeros(N_FEAT, dtype=np.float32)
+    feat[0], feat[1] = float(width), float(height)
+    for c in range(min(channels, 4)):
+        feat[2 + 2 * c] = float(px[:, :, c].mean())
+        feat[3 + 2 * c] = float(px[:, :, c].std())
+    return Decoded(feat, width, height, 0)
+
+
+def jpeg_pixels(blob: bytes) -> "np.ndarray":
+    """Fully decoded JPEG pixel array, (height, width, channels) float32
+    in [0, 255] — the pixel-level entry the resize/feature ops share."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -616,15 +643,8 @@ def decode_jpeg(blob: bytes) -> Decoded:
             ],
             axis=-1,
         )
-        px = np.clip(rgb, 0, 255).astype(np.float32)
-    else:
-        px = np.clip(planes[0], 0, 255).astype(np.float32)[:, :, None]
-    feat = np.zeros(N_FEAT, dtype=np.float32)
-    feat[0], feat[1] = float(width), float(height)
-    for c in range(min(px.shape[2], 4)):
-        feat[2 + 2 * c] = float(px[:, :, c].mean())
-        feat[3 + 2 * c] = float(px[:, :, c].std())
-    return Decoded(feat, width, height, 0)
+        return np.clip(rgb, 0, 255).astype(np.float32)
+    return np.clip(planes[0], 0, 255).astype(np.float32)[:, :, None]
 
 
 def _real_decode(blob: bytes, kind: str) -> Decoded:
@@ -642,6 +662,110 @@ def _real_decode(blob: bytes, kind: str) -> Decoded:
         f"no stdlib decoder for kind={kind!r} with this byte signature; "
         "inject a decoder with signature (blob: bytes, kind: str) -> Decoded"
     )
+
+
+def image_pixels(blob: bytes) -> "np.ndarray":
+    """Byte-signature-dispatched pixel decode (PNG or baseline JPEG)."""
+    if blob[:8] == _PNG_SIG:
+        return png_pixels(blob)
+    if blob[:2] == b"\xff\xd8":
+        return jpeg_pixels(blob)
+    raise NotImplementedError("no stdlib pixel decoder for this byte signature")
+
+
+def resize_nearest(px: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Nearest-neighbor resize with the floor mapping
+    ``src = (dst * src_dim) // dst_dim`` — integer arithmetic a SQL
+    oracle can replicate exactly over the deterministic fixtures."""
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[ys[:, None], xs[None, :]]
+
+
+def resize_bilinear(px: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Bilinear resize (half-pixel centers, edge clamp) — the quality
+    path for thumbnailing/feature prep; float math, pytest-covered
+    rather than SQL-oracled."""
+    h, w = px.shape[:2]
+    y = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    x = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(y).astype(np.int64)
+    x0 = np.floor(x).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (y - y0)[:, None, None]
+    fx = (x - x0)[None, :, None]
+    p00 = px[y0[:, None], x0[None, :]]
+    p01 = px[y0[:, None], x1[None, :]]
+    p10 = px[y1[:, None], x0[None, :]]
+    p11 = px[y1[:, None], x1[None, :]]
+    top = p00 * (1 - fx) + p01 * fx
+    bot = p10 * (1 - fx) + p11 * fx
+    return (top * (1 - fy) + bot * fy).astype(np.float32)
+
+
+RESIZE_SCHEMA = (
+    "media_id long, ok boolean, err string, out_w int, out_h int, "
+    "pix_sum long, px_first int, px_last int"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    method: str = "nearest",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Distributed image resize over the opaque binary column
+    (mapInPandas — per-row pixel work is inherent to codecs, batches
+    ride Arrow). Emits per-image proof-of-work scalars the oracle can
+    recompute for the deterministic PNG fixtures: channel-0 pixel sum
+    of the resized image plus its first/last pixel. Non-image or
+    undecodable rows surface as ok=false, never task failures."""
+    if method == "nearest":
+        resize = resize_nearest
+    elif method == "bilinear":
+        resize = resize_bilinear
+    else:
+        raise ValueError(f"unknown resize method {method!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "ok": [], "err": [], "out_w": [], "out_h": [],
+                "pix_sum": [], "px_first": [], "px_last": [],
+            }
+            for t in pdf.itertuples(index=False):
+                out["media_id"].append(int(t.media_id))
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                try:
+                    px = image_pixels(bytes(t.blob) if t.blob is not None else b"")
+                    r = resize(px, out_w, out_h)
+                    c0 = r[:, :, 0].astype(np.int64)
+                    out["ok"].append(True)
+                    out["err"].append("")
+                    out["pix_sum"].append(int(c0.sum()))
+                    out["px_first"].append(int(c0[0, 0]))
+                    out["px_last"].append(int(c0[-1, -1]))
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    zlib.error,
+                    EOFError,
+                    struct.error,
+                    IndexError,
+                ) as e:
+                    out["ok"].append(False)
+                    out["err"].append(str(e)[:120])
+                    out["pix_sum"].append(0)
+                    out["px_first"].append(0)
+                    out["px_last"].append(0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, RESIZE_SCHEMA)
 
 
 def attach_media_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
