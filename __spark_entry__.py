@@ -667,12 +667,14 @@ def q_multimodal_resize(spark, sf):
     pixels. The floor mapping ``src = (dst*src_dim)//dst_dim`` plus the
     fixture's deterministic pixel arithmetic make every output scalar
     recomputable in SQL — a hash match proves pixels were decoded,
-    indexed, and summed for real. PNG legs only (JPEG is lossy, so its
-    pixels aren't SQL-derivable; the JPEG path is pytest-covered)."""
+    indexed, and summed for real. PNG and GIF legs (both lossless, two
+    DIFFERENT pixel formulas — RGB-interleaved vs grayscale palette —
+    so the oracle distinguishes the decoders); JPEG is lossy, so its
+    pixels aren't SQL-derivable and that path is pytest-covered."""
     from walker_spark.operators.multimodal import resize_images, synth_media_df
 
     d = _t(spark, sf, "documents").filter(
-        (F.col("doc_id") < 64) & (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 4 != 0)
+        (F.col("doc_id") < 64) & (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 8 != 0)
     )
     media = synth_media_df(d)
     return resize_images(media, out_w=8, out_h=6, method="nearest").select(
@@ -1392,11 +1394,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id AS media_id,
                      4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
               FROM documents
-              WHERE doc_id < 64 AND doc_id % 2 = 0 AND doc_id % 4 <> 0
+              WHERE doc_id < 64 AND doc_id % 2 = 0 AND doc_id % 8 <> 0
             ),
             px AS (
+              -- channel-0 source value: PNG pixels are RGB-interleaved
+              -- (sample index = (y*w+x)*3), GIF legs (media_id%8=4) are
+              -- grayscale-palette (index = y*w+x) — same modular hash
               SELECT i.media_id, gy.y, gx.x,
-                     (((((gy.y * i.h) // 6) * i.w + ((gx.x * i.w) // 8)) * 3) * 31
+                     (((((gy.y * i.h) // 6) * i.w + ((gx.x * i.w) // 8))
+                        * (CASE WHEN i.media_id % 8 = 4 THEN 1 ELSE 3 END)) * 31
                       + i.media_id * 7919) % 256 AS v
               FROM img i
               CROSS JOIN generate_series(0, 5) AS gy(y)

@@ -74,13 +74,42 @@ def test_jpeg_in_synth_pipeline(spark):
     ids = spark.range(0, 32).withColumnRenamed("id", "doc_id")
     media = synth_media_df(ids)
     mimes = {r["media_id"]: r["mime"] for r in media.select("media_id", "mime").collect()}
-    assert mimes[4] == "image/jpeg" and mimes[2] == "image/png"
+    assert mimes[8] == "image/jpeg" and mimes[4] == "image/gif" and mimes[2] == "image/png"
     out = decode_and_featurize(media, decoder="real").collect()
     for r in out:
         assert r["ok"], (r["media_id"], r["err"])
         if r["kind"] == "image":
             i = r["media_id"]
             assert (r["width"], r["height"]) == (4 + i % 13, 3 + i % 7)
+
+
+def test_gif_roundtrip_exact():
+    """GIF (r4): LZW is lossless — decoded channel-0 must equal the
+    encoder's deterministic grayscale indices exactly; truncation and
+    interlace flags must reject cleanly."""
+    import pytest
+
+    from walker_spark.operators.multimodal import decode_gif, encode_gif, gif_pixels
+
+    for w, h, seed in [(4, 3, 0), (13, 9, 8), (100, 60, 5)]:
+        px = gif_pixels(encode_gif(w, h, seed=seed))
+        idx = np.arange(w * h, dtype=np.int64)
+        expect = ((idx * 31 + seed * 7919) % 256).reshape(h, w)
+        assert px.shape == (h, w, 3)
+        assert np.array_equal(px[:, :, 0].astype(np.int64), expect)
+        d = decode_gif(encode_gif(w, h, seed=seed))
+        assert (d.width, d.height) == (w, h)
+    blob = bytearray(encode_gif(10, 10, seed=1))
+    with pytest.raises(ValueError):
+        gif_pixels(bytes(blob[:30]))
+    # flip the interlace bit in the image descriptor -> clean rejection
+    # (descriptor sits at a fixed offset: 13-byte header/LSD + 768-byte
+    # global color table; find() would hit palette byte 0x2c first)
+    desc = 13 + 768
+    assert blob[desc] == 0x2C
+    blob[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlace"):
+        gif_pixels(bytes(blob))
 
 
 def test_resize_images_pipeline(spark):

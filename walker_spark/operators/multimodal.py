@@ -2,7 +2,7 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
-signatures, partitioning) is real and tested, and so are three
+signatures, partitioning) is real and tested, and so are four
 pure-stdlib/numpy decoders behind the ``_real_decode`` seam:
 
 * **PNG** (r3) — full chunk walk with CRC verification, IHDR parse,
@@ -14,6 +14,10 @@ pure-stdlib/numpy decoders behind the ``_real_decode`` seam:
   decode with byte unstuffing and restart handling, dequantize,
   inverse zigzag, IDCT, YCbCr→RGB; plus a matching grayscale encoder
   (Annex-K tables) as the fixture generator.
+* **GIF** (r4) — full LZW (variable code width, clear/EOI, dictionary
+  rebuild), global/local color tables, extension skipping; plus a
+  grayscale-palette encoder emitting the classic uncompressed-LZW
+  stream.
 
 Other media kinds (video, MP3, progressive/subsampled JPEG) still raise
 ``NotImplementedError``/``ValueError`` at the same seam — production
@@ -50,7 +54,10 @@ __all__ = [
     "decode_wav",
     "encode_jpeg",
     "decode_jpeg",
+    "encode_gif",
+    "decode_gif",
     "png_pixels",
+    "gif_pixels",
     "jpeg_pixels",
     "image_pixels",
     "resize_nearest",
@@ -656,6 +663,8 @@ def _real_decode(blob: bytes, kind: str) -> Decoded:
         return decode_png(blob)
     if kind == "image" and blob[:2] == b"\xff\xd8":
         return decode_jpeg(blob)
+    if kind == "image" and blob[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(blob)
     if kind == "audio" and blob[:4] == b"RIFF":
         return decode_wav(blob)
     raise NotImplementedError(
@@ -664,12 +673,168 @@ def _real_decode(blob: bytes, kind: str) -> Decoded:
     )
 
 
+# ---------------------------------------------------------------- GIF
+# GIF89a with LZW, from scratch. The encoder emits a 256-entry
+# grayscale palette and the classic "uncompressed-LZW" stream (literal
+# 9-bit codes with periodic CLEARs so the code width never grows) —
+# valid GIF any decoder reads. The decoder implements full dynamic-
+# dictionary LZW (variable code width, clear/EOI), global+local color
+# tables, and extension-block skipping; interlaced images are rejected
+# cleanly (ok=false rows).
+
+
+def encode_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal valid GIF89a with deterministic grayscale pixels
+    (``index = (y*w + x)*31 + seed*7919) % 256``, palette[i] = (i,i,i))."""
+    idx = np.arange(width * height, dtype=np.int64)
+    pixels = ((idx * 31 + seed * 7919) % 256).astype(np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += bytes([8])  # LZW minimum code size
+    # literal 9-bit codes, CLEAR (256) every 254 pixels so the decoder's
+    # growing dictionary never forces a 10-bit width
+    acc = 0
+    nbits = 0
+    data = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # GIF packs LSB-first
+        nbits += 9
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(256)  # initial CLEAR
+    for i, p in enumerate(pixels):
+        if i and i % 254 == 0:
+            put(256)
+        put(int(p))
+    put(257)  # EOI
+    if nbits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def gif_pixels(blob: bytes) -> "np.ndarray":
+    """Decode the first image of a GIF87a/89a: palette + full LZW
+    (variable code width, dictionary rebuild on CLEAR). Returns
+    (height, width, 3) float32."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    _left, _top, width, height, ipacked = struct.unpack_from("<HHHHB", blob, pos + 1)
+    pos += 10
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    palette = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        palette = np.frombuffer(blob, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    if palette is None:
+        raise ValueError("GIF image has no color table")
+    min_code = blob[pos]
+    pos += 1
+    data = bytearray()
+    while blob[pos] != 0:
+        ln = blob[pos]
+        data += blob[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    clear = 1 << min_code
+    eoi = clear + 1
+    # LZW decode, LSB-first bit order
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code + 1
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    out = bytearray()
+    i = 0
+    while True:
+        while nbits < code_size:
+            if i >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([j]) for j in range(clear)] + [b"", b""]
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < width * height:
+        raise ValueError("GIF pixel data short")
+    indices = np.frombuffer(bytes(out[: width * height]), dtype=np.uint8)
+    return palette[indices].reshape(height, width, 3).astype(np.float32)
+
+
+def decode_gif(blob: bytes) -> Decoded:
+    """GIF decode + the shared image feature vector (dims + per-channel
+    mean/std, like :func:`decode_png`)."""
+    px = gif_pixels(blob)
+    height, width, channels = px.shape
+    feat = np.zeros(N_FEAT, dtype=np.float32)
+    feat[0], feat[1] = float(width), float(height)
+    for c in range(min(channels, 4)):
+        feat[2 + 2 * c] = float(px[:, :, c].mean())
+        feat[3 + 2 * c] = float(px[:, :, c].std())
+    return Decoded(feat, width, height, 0)
+
+
 def image_pixels(blob: bytes) -> "np.ndarray":
-    """Byte-signature-dispatched pixel decode (PNG or baseline JPEG)."""
+    """Byte-signature-dispatched pixel decode (PNG, baseline JPEG, GIF)."""
     if blob[:8] == _PNG_SIG:
         return png_pixels(blob)
     if blob[:2] == b"\xff\xd8":
         return jpeg_pixels(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_pixels(blob)
     raise NotImplementedError("no stdlib pixel decoder for this byte signature")
 
 
@@ -833,10 +998,10 @@ def decode_and_featurize(
 def synth_media_df(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic media fixtures, generated DISTRIBUTED (mapInPandas,
     no driver-side blobs): even ids → image with width = 4 + id % 13,
-    height = 3 + id % 7 — PNG normally, baseline JPEG when id % 4 == 0
-    (same dimension arithmetic, so the SQL oracle is unchanged and now
-    also proves the JPEG decoder extracted dims from real entropy-coded
-    bytes); odd ids → 8 kHz WAV with n_samples = 800 + 40 * (id % 50)
+    height = 3 + id % 7 — baseline JPEG when id % 8 == 0, GIF when
+    id % 8 == 4, PNG otherwise (same dimension arithmetic for all
+    three, so the SQL oracle is unchanged and proves each decoder
+    extracted dims from real compressed bytes); odd ids → 8 kHz WAV with n_samples = 800 + 40 * (id % 50)
     (duration_ms = 100 + 5 * (id % 50)). The dimension arithmetic is
     intentionally trivial so a SQL oracle can recompute the expected
     (width, height, duration_ms) per id and cross-check the real
@@ -852,10 +1017,14 @@ def synth_media_df(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 i = int(getattr(t, id_col))
                 if i % 2 == 0:
                     w, h = 4 + i % 13, 3 + i % 7
-                    jpeg = i % 4 == 0
-                    blob = encode_jpeg(w, h, seed=i) if jpeg else encode_png(w, h, seed=i)
+                    if i % 8 == 0:
+                        blob, mime = encode_jpeg(w, h, seed=i), "image/jpeg"
+                    elif i % 8 == 4:
+                        blob, mime = encode_gif(w, h, seed=i), "image/gif"
+                    else:
+                        blob, mime = encode_png(w, h, seed=i), "image/png"
                     out["kind"].append("image")
-                    out["mime"].append("image/jpeg" if jpeg else "image/png")
+                    out["mime"].append(mime)
                     out["width"].append(w)
                     out["height"].append(h)
                     out["duration_ms"].append(0)
