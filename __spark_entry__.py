@@ -682,6 +682,23 @@ def q_multimodal_resize(spark, sf):
     ).orderBy("media_id")
 
 
+def q_multimodal_frame_sample(spark, sf):
+    """Video frame sampling (r4): deterministic AVI-MJPEG containers
+    (a REAL RIFF container whose frames the baseline-JPEG decoder
+    decodes), sample every 2nd frame, decode it, emit decoded dims +
+    container frame count/duration. The oracle recomputes the sampled
+    frame indices and all metadata from the id arithmetic — matching
+    width/height prove the sampled frames were really entropy-decoded,
+    not counted."""
+    from walker_spark.operators.multimodal import sample_video_frames, synth_video_df
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 48)
+    vids = synth_video_df(d)
+    return sample_video_frames(vids, every_k=2).select(
+        "media_id", "frame_idx", "ok", "width", "height", "n_frames", "duration_ms"
+    ).orderBy("media_id", "frame_idx")
+
+
 def q_ann_cosine_topk(spark, sf):
     from walker_spark.operators.similarity import cosine_topk
 
@@ -775,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1414,6 +1432,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CASE WHEN y = 0 AND x = 0 THEN v END) AS INT) AS px_first,
                    CAST(max(CASE WHEN y = 5 AND x = 7 THEN v END) AS INT) AS px_last
             FROM px GROUP BY media_id ORDER BY media_id
+        """,
+        # multimodal_frame_sample: sampled indices + all metadata
+        # re-derived from id arithmetic (scalar generate_series +
+        # unnest — DuckDB's table-function form can't take lateral
+        # column args)
+        "multimodal_frame_sample": """
+            WITH v AS (
+              SELECT doc_id AS media_id, 3 + doc_id % 5 AS nf,
+                     4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+              FROM documents WHERE doc_id < 48
+            )
+            SELECT media_id,
+                   CAST(unnest(generate_series(0, nf - 1, 2)) AS INT) AS frame_idx,
+                   TRUE AS ok,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(nf AS INT) AS n_frames,
+                   CAST(nf * 100 AS INT) AS duration_ms
+            FROM v ORDER BY media_id, frame_idx
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),

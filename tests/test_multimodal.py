@@ -148,6 +148,33 @@ def test_resize_images_pipeline(spark):
     assert rows and all(not r["ok"] for r in rows)
 
 
+def test_video_frame_sampling(spark):
+    """AVI-MJPEG frame sampling (r4): every 2nd frame really decoded
+    (dims from the JPEG bytes, not the container header), corrupt
+    containers -> single ok=false row."""
+    from walker_spark.operators.multimodal import sample_video_frames, synth_video_df
+
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    vids = synth_video_df(ids)
+    rows = sample_video_frames(vids, every_k=2).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for i in range(12):
+        nf = 3 + i % 5
+        got = sorted(r["frame_idx"] for r in by_id[i])
+        assert got == list(range(0, nf, 2))
+        for r in by_id[i]:
+            assert r["ok"]
+            assert (r["width"], r["height"]) == (4 + i % 13, 3 + i % 7)
+            assert r["n_frames"] == nf and r["duration_ms"] == nf * 100
+    import pyspark.sql.functions as SF
+
+    bad = vids.withColumn("blob", SF.expr("substring(blob, 1, 16)"))
+    brows = sample_video_frames(bad, every_k=2).collect()
+    assert len(brows) == 12 and all(not r["ok"] for r in brows)
+
+
 def test_png_unfilter_all_types():
     """Sub/Up/Average/Paeth filters must invert exactly (the encoder
     only emits type 0; real-world PNGs use all five)."""

@@ -19,7 +19,10 @@ pure-stdlib/numpy decoders behind the ``_real_decode`` seam:
   grayscale-palette encoder emitting the classic uncompressed-LZW
   stream.
 
-Other media kinds (video, MP3, progressive/subsampled JPEG) still raise
+Video ships as MJPEG-in-AVI (r4): a pure RIFF container walk feeds
+every sampled frame through the baseline-JPEG decoder
+(``sample_video_frames``). Other media kinds (MP3, H.26x video,
+progressive/subsampled JPEG) still raise
 ``NotImplementedError``/``ValueError`` at the same seam — production
 swaps in a real decoder with the same ``(blob, kind) -> Decoded``
 signature; such rows surface as ok=false, never task failures. The
@@ -64,6 +67,11 @@ __all__ = [
     "resize_bilinear",
     "resize_images",
     "RESIZE_SCHEMA",
+    "encode_avi_mjpeg",
+    "avi_frames",
+    "sample_video_frames",
+    "VIDEO_FRAME_SCHEMA",
+    "synth_video_df",
     "synth_media_df",
 ]
 
@@ -825,6 +833,166 @@ def decode_gif(blob: bytes) -> Decoded:
         feat[2 + 2 * c] = float(px[:, :, c].mean())
         feat[3 + 2 * c] = float(px[:, :, c].std())
     return Decoded(feat, width, height, 0)
+
+
+# ---------------------------------------------------------------- AVI (MJPEG)
+# Motion-JPEG in a RIFF/AVI container — a real video format the
+# baseline-JPEG decoder can decode frame-by-frame, so the video leg of
+# the pipeline (frame sampling, per-frame decode) is genuinely
+# exercised without any codec library. Non-MJPEG streams and other
+# containers still surface as ok=false at the seam.
+
+
+def encode_avi_mjpeg(
+    width: int, height: int, n_frames: int, fps: int = 10, seed: int = 0
+) -> bytes:
+    """Minimal valid AVI: hdrl(avih + strl(strh 'vids'/'MJPG' + strf))
+    then movi with one '00dc' JPEG chunk per frame (frame f seeded
+    ``seed*100 + f`` so each frame's pixels differ deterministically)."""
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(four: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", four + payload)
+
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", usec, 0, 0, 0, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, width * height * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    frames = b"".join(
+        chunk(b"00dc", encode_jpeg(width, height, seed=seed * 100 + f))
+        for f in range(n_frames)
+    )
+    movi = lst(b"movi", frames)
+    riff_payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+def avi_frames(blob: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """Parse an AVI container: returns (n_frames, usec_per_frame,
+    width, height, frame_payloads) from the avih header + '00dc'/'00db'
+    movi chunks. Pure RIFF walking; raises ValueError on non-AVI."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF header)")
+    n_frames = usec = width = height = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal n_frames, usec, width, height
+        while pos + 8 <= end:
+            fourcc = blob[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", blob, pos + 4)
+            body = pos + 8
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)
+            elif fourcc == b"avih":
+                usec, _mbs, _pad, _fl, n_frames = struct.unpack_from("<5I", blob, body)
+                width, height = struct.unpack_from("<II", blob, body + 32)
+            elif fourcc in (b"00dc", b"00db"):
+                frames.append(blob[body : body + size])
+            pos = body + size + (size % 2)
+
+    walk(12, len(blob))
+    if n_frames is None:
+        raise ValueError("AVI missing avih header")
+    return int(n_frames), int(usec), int(width), int(height), frames
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, ok boolean, err string, "
+    "width int, height int, n_frames int, duration_ms int"
+)
+
+
+def sample_video_frames(
+    df: DataFrame, every_k: int = 2, blob_col: str = "blob"
+) -> DataFrame:
+    """Frame-sampling stage for video columns: parse the container,
+    keep every ``k``-th frame, REALLY decode each kept frame (MJPEG →
+    the baseline-JPEG decoder) and emit one row per sampled frame with
+    the decoded dims plus container-level frame count / duration.
+    Undecodable rows → ok=false, never task failures. mapInPandas, so
+    a 100 TB video corpus fans out by row like every other media op."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "ok": [], "err": [],
+                "width": [], "height": [], "n_frames": [], "duration_ms": [],
+            }
+
+            def emit(mid, fi, ok, err, w, h, nf, dur):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(fi)
+                out["ok"].append(ok)
+                out["err"].append(err)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["duration_ms"].append(dur)
+
+            for t in pdf.itertuples(index=False):
+                mid = int(t.media_id)
+                try:
+                    nf, usec, _w, _h, frames = avi_frames(
+                        bytes(t.blob) if t.blob is not None else b""
+                    )
+                    dur = nf * usec // 1000
+                    for fi in range(0, len(frames), every_k):
+                        px = jpeg_pixels(frames[fi])
+                        emit(mid, fi, True, "", px.shape[1], px.shape[0], nf, dur)
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    zlib.error,
+                    EOFError,
+                    struct.error,
+                    IndexError,
+                ) as e:
+                    emit(mid, -1, False, str(e)[:120], 0, 0, 0, 0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, VIDEO_FRAME_SCHEMA)
+
+
+def synth_video_df(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic AVI-MJPEG fixtures (distributed): per id,
+    n_frames = 3 + id % 5 at 10 fps, frame dims (4 + id % 13,
+    3 + id % 7) — duration_ms = 100 * n_frames; all recomputable from
+    id arithmetic by the SQL oracle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "kind": [], "mime": [], "n_bytes": [],
+                "width": [], "height": [], "duration_ms": [], "blob": [],
+            }
+            for t in pdf.itertuples(index=False):
+                i = int(getattr(t, id_col))
+                w, h, nf = 4 + i % 13, 3 + i % 7, 3 + i % 5
+                blob = encode_avi_mjpeg(w, h, nf, fps=10, seed=i)
+                out["media_id"].append(i)
+                out["kind"].append("video")
+                out["mime"].append("video/x-msvideo")
+                out["n_bytes"].append(len(blob))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(nf * 100)
+                out["blob"].append(blob)
+            yield pd.DataFrame(out)
+
+    return ids.select(id_col).mapInPandas(fn, MEDIA_SCHEMA)
 
 
 def image_pixels(blob: bytes) -> "np.ndarray":
