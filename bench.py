@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
     "text_token_counts",
     "ann_cosine_topk",
     "ann_lsh_topk",
