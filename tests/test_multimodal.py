@@ -1,6 +1,6 @@
-"""Stdlib media decoders (r3): PNG chunk-walk/unfilter and WAV decode,
-plus the distributed synth → decode pipeline the multimodal_decode
-oracle checks."""
+"""Stdlib media codecs: PNG chunk-walk/unfilter + WAV (r3), baseline
+JPEG + GIF LZW + AVI-MJPEG frame sampling + image resize (r4), plus the
+distributed synth → decode pipelines the multimodal_* oracles check."""
 
 import numpy as np
 import pyspark.sql.functions as F
@@ -67,8 +67,9 @@ def test_jpeg_roundtrip_dims_and_pixels():
 
 
 def test_jpeg_in_synth_pipeline(spark):
-    """Every 4th id is a JPEG in the fixture generator; the decode
-    pipeline must produce identical dims for JPEG and PNG legs."""
+    """Image legs split JPEG (id%8==0) / GIF (id%8==4) / PNG (rest) in
+    the fixture generator; the decode pipeline must produce identical
+    dims across all three codecs."""
     from walker_spark.operators.multimodal import decode_and_featurize, synth_media_df
 
     ids = spark.range(0, 32).withColumnRenamed("id", "doc_id")
