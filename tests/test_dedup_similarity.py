@@ -151,37 +151,44 @@ def test_embedding_near_dup_lsh_matches_exact(vectors):
 
 def test_embedding_lsh_multiprobe_recall(spark):
     """Pins the q_embedding_near_dup CORRECTNESS contract (VERDICT r3
-    #1): on the driver embeddings fixture at the entry's exact
-    parameters (threshold 0.4, bands=8, rows=8, probe_bits=2, seed 42),
-    multi-probe banding recall is exactly 1.0, so the production LSH
-    plan — a band equi-join, no cartesian product — reproduces the
-    exact cross-join answer and the DuckDB oracle stays green. If
-    fixture or banding drift ever costs a pair, this fails before the
-    driver's gate does."""
+    #1): on BOTH driver embeddings fixtures (sf0.01 and sf0.1) at the
+    entry's exact parameters (threshold 0.4, bands=8, rows=8,
+    probe_bits=3, seed 42), multi-probe banding recall is exactly 1.0,
+    so the production LSH plan — a band equi-join, no cartesian
+    product — reproduces the exact cross-join answer everywhere the
+    driver runs it. probe_bits=2 measured 0.990 recall at sf0.1 — the
+    cap-didn't-bind-at-this-SF failure shape ADVICE flagged on simhash;
+    if fixture or banding drift ever costs a pair, this fails before
+    the driver's gate does."""
     import os
 
-    fixture = "/root/testdata/sf0.01/embeddings.parquet"
-    if not os.path.exists(fixture):
-        import pytest
+    import pytest
 
-        pytest.skip("driver fixture not present")
     from walker_spark.operators.similarity import embedding_near_dup_pairs
 
-    emb = spark.read.parquet(fixture).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    exact = {
-        (r["id_a"], r["id_b"])
-        for r in embedding_near_dup_pairs(emb, threshold=0.4, exact=True).collect()
-    }
-    assert exact
-    lsh_df = embedding_near_dup_pairs(
-        emb, threshold=0.4, exact=False, probe_bits=2, eager=False
-    )
-    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
-    lsh = {(r["id_a"], r["id_b"]) for r in lsh_df.collect()}
-    assert lsh == exact  # recall AND precision exactly 1.0
+    checked = 0
+    for sf in ("0.01", "0.1"):
+        fixture = f"/root/testdata/sf{sf}/embeddings.parquet"
+        if not os.path.exists(fixture):
+            continue
+        emb = spark.read.parquet(fixture).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(emb, threshold=0.4, exact=True).collect()
+        }
+        assert exact
+        lsh_df = embedding_near_dup_pairs(
+            emb, threshold=0.4, exact=False, probe_bits=3, eager=False
+        )
+        plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+        lsh = {(r["id_a"], r["id_b"]) for r in lsh_df.collect()}
+        assert lsh == exact, f"sf{sf}: recall/precision not 1.0"
+        checked += 1
+    if not checked:
+        pytest.skip("driver fixtures not present")
 
 
 def test_multimodal_plumbing(spark):
