@@ -336,10 +336,11 @@ def embedding_near_dup_pairs(
     pair collides iff some band's signatures differ in ≤ probe_bits
     bits. This is the standard recall knob for the mid-threshold
     (0.3-0.6 cosine) regime where plain sign-bit banding has recall
-    ~0.2: with bands=8, rows=8, probe_bits=2 the recall on the driver
-    embeddings fixture at threshold 0.4 is exactly 1.0 (pinned by
-    tests/test_dedup_similarity.py). The shuffle stays ids-only —
-    probe expansion multiplies band rows (37× for r=8, p=2), not
+    ~0.2: with bands=8, rows=8, probe_bits=3 the recall on the driver
+    embeddings fixtures at threshold 0.4 is exactly 1.0 at BOTH sf0.01
+    and sf0.1 (pinned by tests/test_dedup_similarity.py; probe_bits=2
+    measured 0.990 at sf0.1). The shuffle stays ids-only — probe
+    expansion multiplies band rows (93× for r=8, p=3), not
     vector payload. Note the honest physics: that fixture is isotropic
     random, so recall 1.0 at 66° inherently means examining ~70% of
     the pair space — LSH *prunes* only when the corpus is clustered
