@@ -176,6 +176,63 @@ def test_video_frame_sampling(spark):
     assert len(brows) == 12 and all(not r["ok"] for r in brows)
 
 
+def test_decoder_fuzz_no_escaping_exceptions():
+    """Seeded byte-mutation fuzz over every codec (r4): a crawl decodes
+    UNTRUSTED bytes, so a mutated/truncated blob must either decode or
+    raise from the exception set the pipeline converts to ok=false —
+    never an escaping exception type (KeyError/StopIteration were real
+    escapes found by inspection), never a decode-bomb allocation
+    (MAX_DECODE_PIXELS guards declared dims before any buffer is
+    built)."""
+    import struct
+    import wave
+    import zlib
+
+    from walker_spark.operators.multimodal import (
+        avi_frames,
+        decode_wav,
+        encode_avi_mjpeg,
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        encode_wav,
+        gif_pixels,
+        jpeg_pixels,
+        png_pixels,
+    )
+
+    allowed = (
+        NotImplementedError,
+        ValueError,
+        zlib.error,
+        wave.Error,
+        EOFError,
+        KeyError,
+        struct.error,
+        IndexError,
+    )
+    codecs = [
+        (png_pixels, encode_png(9, 7, seed=1)),
+        (jpeg_pixels, encode_jpeg(9, 7, seed=1)),
+        (gif_pixels, encode_gif(9, 7, seed=1)),
+        (decode_wav, encode_wav(400, 8000, seed=1)),
+        (lambda b: avi_frames(b), encode_avi_mjpeg(6, 5, 3, seed=1)),
+    ]
+    rng = np.random.default_rng(42)
+    for decode, blob in codecs:
+        for _ in range(150):
+            mutant = bytearray(blob)
+            for _ in range(int(rng.integers(1, 5))):
+                mutant[int(rng.integers(0, len(mutant)))] = int(rng.integers(0, 256))
+            if rng.random() < 0.3:
+                mutant = mutant[: int(rng.integers(0, len(mutant)))]
+            try:
+                decode(bytes(mutant))
+            except allowed:
+                pass  # ok=false row in the pipeline
+            # any other exception type propagates and fails the test
+
+
 def test_png_unfilter_all_types():
     """Sub/Up/Average/Paeth filters must invert exactly (the encoder
     only emits type 0; real-world PNGs use all five)."""

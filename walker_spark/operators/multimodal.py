@@ -106,6 +106,24 @@ def fake_decode(blob: bytes, kind: str) -> Decoded:
     return Decoded(feat, 0, 0, 0)
 
 
+
+# Decode-bomb guard: a malformed/hostile header can declare dimensions
+# whose pixel buffer would OOM an executor before any data check (a
+# 16-byte blob claiming a 2^31-wide image). Every pixel decoder bounds
+# the DECLARED size before allocating; beyond it is a ValueError →
+# ok=false row, exactly like any other corrupt input. 2^26 samples
+# (~256 MB float32 RGB) is far above any sane web image.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_decode_size(width: int, height: int, channels: int = 3) -> None:
+    if width <= 0 or height <= 0 or width * height * channels > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"refusing to decode declared size {width}x{height}x{channels} "
+            f"(> {MAX_DECODE_PIXELS} samples or non-positive)"
+        )
+
+
 # ---------------------------------------------------------------- PNG
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -214,6 +232,7 @@ def png_pixels(blob: bytes) -> "np.ndarray":
                     f"unsupported PNG layout (depth={depth} color={color})"
                 )
             channels = _PNG_CHANNELS[color]
+            _check_decode_size(width, height, channels)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -245,14 +264,20 @@ def encode_wav(n_samples: int, sample_rate: int = 8000, seed: int = 0) -> bytes:
 def decode_wav(blob: bytes) -> Decoded:
     """Decode a PCM WAV via stdlib ``wave``: duration from the frame
     count, features = global mean/std + RMS over 8 equal segments."""
-    with wave.open(io.BytesIO(blob), "rb") as w:
-        n, rate, width, ch = (
-            w.getnframes(),
-            w.getframerate(),
-            w.getsampwidth(),
-            w.getnchannels(),
-        )
-        frames = w.readframes(n)
+    try:
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            n, rate, width, ch = (
+                w.getnframes(),
+                w.getframerate(),
+                w.getsampwidth(),
+                w.getnchannels(),
+            )
+            frames = w.readframes(n)
+    except RuntimeError as e:
+        # stdlib chunk.py raises BARE RuntimeError on corrupt seek
+        # offsets (found by the byte-mutation fuzz test) — normalize to
+        # the pipeline's ok=false exception set
+        raise ValueError(f"corrupt WAV container: {e or 'bad chunk seek'}")
     if width != 2:
         raise ValueError(f"unsupported WAV sample width {width}")
     s = np.frombuffer(frames, dtype="<i2").astype(np.float32)
@@ -482,12 +507,14 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
-class _RestartMarker(Exception):
+class _RestartMarker(ValueError):
     """Raised when an RSTn surfaces inside entropy data — reaching one
-    outside the restart-boundary accounting means a corrupt stream, and
-    it propagates to an ok=false row like any decode error."""
+    outside the restart-boundary accounting means a corrupt stream.
+    Subclasses ValueError so it lands in every pipeline's ok=false
+    handling rather than escaping as a task failure."""
 
     def __init__(self, pos: int) -> None:
+        super().__init__(f"unexpected JPEG restart marker at byte {pos}")
         self.pos = pos
 
 
@@ -573,6 +600,7 @@ def jpeg_pixels(blob: bytes) -> "np.ndarray":
                 i += 17 + nv
         elif marker == 0xFFC0:
             _prec, height, width, nc = struct.unpack_from(">BHHB", data, 0)
+            _check_decode_size(width, height, max(nc, 1))
             for c in range(nc):
                 cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
                 if samp != 0x11:
@@ -589,9 +617,11 @@ def jpeg_pixels(blob: bytes) -> "np.ndarray":
             ns = data[0]
             for c in range(ns):
                 cid, tables = data[1 + 2 * c], data[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cid)
+                matches = [x for x in comps if x["id"] == cid]
+                if not matches:
+                    raise ValueError(f"JPEG scan references unknown component {cid}")
                 scan_comps.append(
-                    {**comp, "dc": tables >> 4, "ac": tables & 0xF}
+                    {**matches[0], "dc": tables >> 4, "ac": tables & 0xF}
                 )
             pos += 2 + length
             break
@@ -621,16 +651,27 @@ def jpeg_pixels(blob: bytes) -> "np.ndarray":
                 preds = [0] * len(scan_comps)
             for ci, comp in enumerate(scan_comps):
                 zz = np.zeros(64, dtype=np.int64)
-                size = _read_symbol(r, huff[(0, comp["dc"])])
+                dc_tbl = huff.get((0, comp["dc"]))
+                ac_tbl = huff.get((1, comp["ac"]))
+                if dc_tbl is None or ac_tbl is None or comp["tq"] not in qt:
+                    raise ValueError("JPEG scan references undefined DQT/DHT table")
+                size = _read_symbol(r, dc_tbl)
+                if size > 15:
+                    # magnitude categories are <= 11 for 8-bit baseline;
+                    # a corrupt table yielding e.g. 255 would otherwise
+                    # read 255 bits into an arbitrary-precision int and
+                    # overflow the int64 coefficient store (found by the
+                    # byte-mutation fuzz test)
+                    raise ValueError(f"corrupt JPEG DC magnitude category {size}")
                 diff = _extend(r.bits(size), size) if size else 0
                 preds[ci] += diff
                 zz[0] = preds[ci]
                 k = 1
                 while k < 64:
-                    sym = _read_symbol(r, huff[(1, comp["ac"])])
+                    sym = _read_symbol(r, ac_tbl)
                     if sym == 0x00:  # EOB
                         break
-                    run, size = sym >> 4, sym & 0xF
+                    run, size = sym >> 4, sym & 0xF  # size <= 15 by construction
                     if size == 0:
                         if run != 15:
                             raise ValueError("bad AC symbol")
@@ -761,6 +802,7 @@ def gif_pixels(blob: bytes) -> "np.ndarray":
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
     _left, _top, width, height, ipacked = struct.unpack_from("<HHHHB", blob, pos + 1)
     pos += 10
+    _check_decode_size(width, height)
     if ipacked & 0x40:
         raise ValueError("interlaced GIF not supported")
     palette = gct
@@ -957,6 +999,7 @@ def sample_video_frames(
                     ValueError,
                     zlib.error,
                     EOFError,
+                    KeyError,
                     struct.error,
                     IndexError,
                 ) as e:
@@ -1088,6 +1131,7 @@ def resize_images(
                     ValueError,
                     zlib.error,
                     EOFError,
+                    KeyError,
                     struct.error,
                     IndexError,
                 ) as e:
@@ -1147,6 +1191,7 @@ def decode_and_featurize(
                     zlib.error,
                     wave.Error,
                     EOFError,
+                    KeyError,  # malformed table/marker references
                     struct.error,  # truncated chunk headers
                     IndexError,  # truncated scanline bytes
                 ) as e:
