@@ -580,6 +580,27 @@ def q_dedup_simhash(spark, sf):
     return simhash_pairs(d, max_hamming=8, max_bucket=None).orderBy("id_a", "id_b")
 
 
+def q_dedup_cluster_assign(spark, sf):
+    """Connected components over the minhash near-dup pair set (r4) —
+    the cluster-assignment step a dedup pipeline runs after pair
+    generation. Spark side: distributed label propagation to fixpoint
+    (operators/dedup.py::connected_components); oracle: recursive-CTE
+    closure computing min-reachable-id over the exact-jaccard edge set,
+    plus per-cluster sizes."""
+    from pyspark.sql import Window
+
+    from walker_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, jaccard_threshold=0.35, bands=32, num_hashes=128)
+    comp = connected_components(pairs)
+    w = Window.partitionBy("component")
+    return (
+        comp.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+        .orderBy("id")
+    )
+
+
 def q_text_token_counts(spark, sf):
     from walker_spark.functions.text import token_count_expr
 
@@ -788,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_prefix": q_dedup_exact_prefix,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_cluster_assign": q_dedup_cluster_assign,
         "dedup_simhash": q_dedup_simhash,
         "text_token_counts": q_text_token_counts,
         "text_bpe_tokens": q_text_bpe_tokens,
@@ -834,6 +856,45 @@ _NORM_TEXT_SQL = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), "
     "'\\s+', ' ', 'g'))"
 )
+
+# shared pair CTE: the exact jaccard pair set at the minhash entry's
+# threshold — used by the dedup_minhash_lsh oracle AND as the edge set
+# of the dedup_cluster_assign components oracle. Short docs (<3 tokens)
+# get one whole-text shingle, mirroring shingle_expr's fallback window.
+_MINHASH_PAIR_CTES = f"""norm AS (
+              SELECT doc_id, {_NORM_TEXT_SQL} AS t FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(t, ' ')) AS tok,
+                     generate_subscripts(string_split(t, ' '), 1) AS pos
+              FROM norm
+            ),
+            sh AS (
+              SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+              FROM toks a
+              JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+              UNION
+              SELECT doc_id, t AS s FROM norm
+              WHERE len(string_split(t, ' ')) < 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            ),
+            mh_pairs AS (
+              SELECT id_a, id_b,
+                     round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.35
+            )"""
+
+
 
 
 def _langid_sql() -> str:
@@ -1340,44 +1401,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.v, b.v) >= 0.4
             ORDER BY id_a, id_b
         """,
-        # dedup_minhash_lsh: the oracle is the EXACT jaccard pair set —
-        # LSH with 32 bands / 128 hashes at threshold 0.35 has recall 1.0
-        # on these tables (checked at sf0.001/0.01/0.1 and pinned by the
-        # lsh==exact pytest), so the candidate path must reproduce the
-        # exact answer bit-for-bit. Short docs (<3 tokens) get one
-        # whole-text shingle, mirroring shingle_expr's fallback window.
+        # dedup_minhash_lsh: the oracle is the EXACT jaccard pair set
+        # (_MINHASH_PAIR_CTES) — LSH with 32 bands / 128 hashes at
+        # threshold 0.35 has recall 1.0 on these tables (checked at
+        # sf0.001/0.01/0.1 and pinned by the lsh==exact pytest), so the
+        # candidate path must reproduce the exact answer bit-for-bit.
         "dedup_minhash_lsh": f"""
-            WITH norm AS (
-              SELECT doc_id, {_NORM_TEXT_SQL} AS t FROM documents
-            ),
-            toks AS (
-              SELECT doc_id,
-                     unnest(string_split(t, ' ')) AS tok,
-                     generate_subscripts(string_split(t, ' '), 1) AS pos
-              FROM norm
-            ),
-            sh AS (
-              SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
-              FROM toks a
-              JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-              JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+            WITH {_MINHASH_PAIR_CTES}
+            SELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b
+        """,
+        # dedup_cluster_assign: connected components over the SAME pair
+        # set, recomputed exactly (recursive-CTE closure on the
+        # undirected edge set; component = min reachable id) — checks
+        # the distributed label-propagation fixpoint end-to-end.
+        "dedup_cluster_assign": f"""
+            WITH RECURSIVE {_MINHASH_PAIR_CTES},
+            cedges AS (
+              SELECT id_a AS src, id_b AS dst FROM mh_pairs
               UNION
-              SELECT doc_id, t AS s FROM norm
-              WHERE len(string_split(t, ' ')) < 3
+              SELECT id_b, id_a FROM mh_pairs
             ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
-              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-              GROUP BY x.doc_id, y.doc_id
+            cnodes AS (SELECT DISTINCT src AS id FROM cedges),
+            creach AS (
+              SELECT id, id AS r FROM cnodes
+              UNION
+              SELECT e.dst AS id, creach.r
+              FROM creach JOIN cedges e ON e.src = creach.id
+            ),
+            comp AS (
+              SELECT id, min(r) AS component FROM creach GROUP BY id
             )
-            SELECT id_a, id_b,
-                   round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.35
-            ORDER BY id_a, id_b
+            SELECT c.id, c.component,
+                   CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT)
+                     AS cluster_size
+            FROM comp c ORDER BY c.id
         """,
         "text_bpe_tokens": r"""
             WITH t AS (

@@ -130,6 +130,40 @@ def test_ivf_topk_recall(vectors):
     assert recall >= 0.8, f"IVF recall too low: {recall}"
 
 
+def test_connected_components(spark):
+    """Label propagation must converge to min-reachable-id components:
+    a chain (worst-case diameter), a star, a singleton pair, and an
+    isolated clique — verified against a hand oracle; determinism via
+    a second run."""
+    from walker_spark.operators.dedup import connected_components
+
+    edges = [
+        # chain 1-2-3-4-5 (diameter stresses the fixpoint loop)
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        # star centered at 10
+        (10, 11), (10, 12), (10, 13),
+        # pair
+        (20, 21),
+        # clique given redundantly in both orders
+        (30, 31), (31, 32), (30, 32), (32, 30),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+              10: 10, 11: 10, 12: 10, 13: 10,
+              20: 20, 21: 20,
+              30: 30, 31: 30, 32: 30}
+    assert got == expect
+    again = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert again == expect
+    # pathological: loop bound raises loudly instead of mislabeling
+    import pytest
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+
+
 def test_embedding_near_dup_lsh_matches_exact(vectors):
     from walker_spark.operators.similarity import embedding_near_dup_pairs
 

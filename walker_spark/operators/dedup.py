@@ -43,6 +43,7 @@ __all__ = [
     "simhash_expr",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "connected_components",
 ]
 
 
@@ -568,4 +569,67 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Dedup-cluster assignment: connected components over a near-dup
+    pair set — the step every dedup pipeline runs AFTER pair generation
+    (minhash/simhash/embedding pairs → one canonical doc per cluster).
+
+    Distributed label propagation: every node starts labeled with its
+    own id; each round, a node takes the min label among itself and its
+    neighbors; fixpoint when no label changes. Rounds needed = graph
+    diameter — near-dup clusters are dense and shallow (dup groups,
+    boilerplate families), so this converges in a handful of rounds
+    where a 100 TB corpus's pair set would still be edge-partitioned
+    shuffles (2 per round: neighbor join + min-aggregate). Lineage is
+    cut per round with an eager localCheckpoint (the same iterative-
+    plan discipline as the BSP crawl loop); ``max_iters`` is a
+    corrupt-input backstop, raised loudly rather than silently
+    mislabeling.
+
+    Returns (id, component) with component = MIN id reachable —
+    deterministic, and directly SQL-checkable by a recursive-CTE
+    closure (the dedup_cluster_assign oracle)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "pathological pair graph (diameter > max_iters)?"
     )
