@@ -720,6 +720,25 @@ def q_multimodal_frame_sample(spark, sf):
     ).orderBy("media_id", "frame_idx")
 
 
+def q_multimodal_resample(spark, sf):
+    """Audio resample (r4): real WAV fixtures decimated 8 kHz → 2 kHz
+    through the distributed resample op; output length and duration are
+    pure functions of the fixture arithmetic, so the oracle recomputes
+    them (n = 800 + 40*(id%50) samples → n/4 at 2 kHz). The decimated
+    SAMPLES are pinned by pytest via integer RMS (sine values aren't
+    SQL-recomputable bit-exactly, so rms stays out of the oracle
+    row)."""
+    from walker_spark.operators.multimodal import resample_audio, synth_media_df
+
+    d = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") < 64) & (F.col("doc_id") % 2 == 1)
+    )
+    media = synth_media_df(d)
+    return resample_audio(media, target_rate=2000).select(
+        "media_id", "ok", "out_rate", "n_out", "out_duration_ms"
+    ).orderBy("media_id")
+
+
 def q_ann_cosine_topk(spark, sf):
     from walker_spark.operators.similarity import cosine_topk
 
@@ -819,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_resample": q_multimodal_resample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1511,6 +1531,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nf AS INT) AS n_frames,
                    CAST(nf * 100 AS INT) AS duration_ms
             FROM v ORDER BY media_id, frame_idx
+        """,
+        "multimodal_resample": """
+            SELECT doc_id AS media_id, TRUE AS ok,
+                   CAST(2000 AS INT) AS out_rate,
+                   CAST((800 + 40 * (doc_id % 50)) // 4 AS INT) AS n_out,
+                   CAST(((800 + 40 * (doc_id % 50)) // 4) * 1000 // 2000 AS INT)
+                     AS out_duration_ms
+            FROM documents
+            WHERE doc_id < 64 AND doc_id % 2 = 1
+            ORDER BY media_id
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),

@@ -176,6 +176,36 @@ def test_video_frame_sampling(spark):
     assert len(brows) == 12 and all(not r["ok"] for r in brows)
 
 
+def test_audio_resample(spark):
+    """resample_audio (r4): integer decimation must keep exactly every
+    k-th sample — RMS of the Spark output equals a local numpy
+    recompute from the same fixture (pins samples, not just lengths);
+    non-divisible targets and non-audio rows become ok=false."""
+    from walker_spark.operators.multimodal import (
+        encode_wav,
+        resample_audio,
+        synth_media_df,
+        wav_samples,
+    )
+
+    ids = spark.range(0, 16).withColumnRenamed("id", "doc_id")
+    media = synth_media_df(ids)
+    out = {r["media_id"]: r for r in resample_audio(media, 2000).collect()}
+    for i in range(1, 16, 2):  # WAV legs
+        n = 800 + 40 * (i % 50)
+        r = out[i]
+        assert r["ok"] and r["n_out"] == n // 4
+        assert r["out_duration_ms"] == (n // 4) * 1000 // 2000
+        _, samples = wav_samples(encode_wav(n, 8000, seed=i))
+        dec = samples[::4].astype("float64")
+        assert r["rms"] == int(np.sqrt(np.mean(dec**2)))
+    for i in range(0, 16, 2):  # image legs: not audio -> ok=false
+        assert not out[i]["ok"]
+    # 8000 % 3000 != 0 -> clean per-row failure, not a crash
+    bad = {r["media_id"]: r for r in resample_audio(media, 3000).collect()}
+    assert all(not bad[i]["ok"] for i in range(1, 16, 2))
+
+
 def test_decoder_fuzz_no_escaping_exceptions():
     """Seeded byte-mutation fuzz over every codec (r4): a crawl decodes
     UNTRUSTED bytes, so a mutated/truncated blob must either decode or

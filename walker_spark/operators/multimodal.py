@@ -55,6 +55,9 @@ __all__ = [
     "decode_png",
     "encode_wav",
     "decode_wav",
+    "wav_samples",
+    "resample_audio",
+    "RESAMPLE_SCHEMA",
     "encode_jpeg",
     "decode_jpeg",
     "encode_gif",
@@ -263,26 +266,11 @@ def encode_wav(n_samples: int, sample_rate: int = 8000, seed: int = 0) -> bytes:
 
 def decode_wav(blob: bytes) -> Decoded:
     """Decode a PCM WAV via stdlib ``wave``: duration from the frame
-    count, features = global mean/std + RMS over 8 equal segments."""
-    try:
-        with wave.open(io.BytesIO(blob), "rb") as w:
-            n, rate, width, ch = (
-                w.getnframes(),
-                w.getframerate(),
-                w.getsampwidth(),
-                w.getnchannels(),
-            )
-            frames = w.readframes(n)
-    except RuntimeError as e:
-        # stdlib chunk.py raises BARE RuntimeError on corrupt seek
-        # offsets (found by the byte-mutation fuzz test) — normalize to
-        # the pipeline's ok=false exception set
-        raise ValueError(f"corrupt WAV container: {e or 'bad chunk seek'}")
-    if width != 2:
-        raise ValueError(f"unsupported WAV sample width {width}")
-    s = np.frombuffer(frames, dtype="<i2").astype(np.float32)
-    if ch > 1:
-        s = s.reshape(-1, ch).mean(axis=1)
+    count, features = global mean/std + RMS over 8 equal segments.
+    Parsing lives in :func:`wav_samples` (shared with the resample op);
+    it normalizes chunk.py's bare RuntimeError to ValueError."""
+    rate, s = wav_samples(blob)
+    n = len(s)
     duration_ms = int(n * 1000 // rate)
     feat = np.zeros(N_FEAT, dtype=np.float32)
     feat[0] = float(rate)
@@ -1079,6 +1067,93 @@ def resize_bilinear(px: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
     top = p00 * (1 - fx) + p01 * fx
     bot = p10 * (1 - fx) + p11 * fx
     return (top * (1 - fy) + bot * fy).astype(np.float32)
+
+
+def wav_samples(blob: bytes) -> tuple[int, "np.ndarray"]:
+    """(sample_rate, mono float32 samples) — the pixel-level analogue
+    for audio, shared by the feature and resample paths."""
+    try:
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            n, rate, width, ch = (
+                w.getnframes(),
+                w.getframerate(),
+                w.getsampwidth(),
+                w.getnchannels(),
+            )
+            frames = w.readframes(n)
+    except RuntimeError as e:  # stdlib chunk.py bare RuntimeError
+        raise ValueError(f"corrupt WAV container: {e or 'bad chunk seek'}")
+    if width != 2:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    s = np.frombuffer(frames, dtype="<i2").astype(np.float32)
+    if ch > 1:
+        s = s.reshape(-1, ch).mean(axis=1)
+    return rate, s
+
+
+RESAMPLE_SCHEMA = (
+    "media_id long, ok boolean, err string, out_rate int, n_out int, "
+    "out_duration_ms int, rms int"
+)
+
+
+def resample_audio(df: DataFrame, target_rate: int, blob_col: str = "blob") -> DataFrame:
+    """Distributed audio resample by integer decimation: keep every
+    ``src_rate // target_rate``-th sample (``src_rate`` must be an
+    integer multiple — the common 48k→16k / 44.1k→14.7k training-prep
+    shape; anything else is an ok=false row, as is non-audio input).
+    Emits per-row proof-of-work scalars: output length, duration at the
+    target rate, and the integer RMS of the decimated signal — the
+    length/duration pair is recomputable from the fixture arithmetic by
+    a SQL oracle; RMS pins the samples themselves in pytest."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "ok": [], "err": [], "out_rate": [],
+                "n_out": [], "out_duration_ms": [], "rms": [],
+            }
+            for t in pdf.itertuples(index=False):
+                out["media_id"].append(int(t.media_id))
+                out["out_rate"].append(target_rate)
+                try:
+                    rate, samples = wav_samples(
+                        bytes(t.blob) if t.blob is not None else b""
+                    )
+                    if target_rate <= 0 or rate % target_rate != 0:
+                        raise ValueError(
+                            f"decimation needs src_rate % target == 0 "
+                            f"(src {rate}, target {target_rate})"
+                        )
+                    dec = samples[:: rate // target_rate]
+                    out["ok"].append(True)
+                    out["err"].append("")
+                    out["n_out"].append(len(dec))
+                    out["out_duration_ms"].append(len(dec) * 1000 // target_rate)
+                    out["rms"].append(
+                        int(np.sqrt(np.mean(dec.astype(np.float64) ** 2)))
+                        if len(dec)
+                        else 0
+                    )
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    zlib.error,
+                    wave.Error,
+                    EOFError,
+                    KeyError,
+                    struct.error,
+                    IndexError,
+                ) as e:
+                    out["ok"].append(False)
+                    out["err"].append(str(e)[:120])
+                    out["n_out"].append(0)
+                    out["out_duration_ms"].append(0)
+                    out["rms"].append(0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, RESAMPLE_SCHEMA)
+
 
 
 RESIZE_SCHEMA = (
