@@ -56,3 +56,95 @@ def test_streaming_extract(spark, tmp_path):
     assert r["structure"]["title"] == "T1"
     assert dict(r["links"]) == {"/x": 1}
     assert r["text"] == extract_text(html.decode())
+
+
+def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
+    """State must persist across micro-batches AND query restarts: a
+    doc whose text was seen in batch 1 must not be emitted when its
+    duplicate arrives in batch 2 (same checkpoint)."""
+    from walker_spark.streaming.dedup import streaming_exact_dedup
+
+    schema = "doc_id long, text string"
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "Alpha, beta GAMMA!")],
+        schema,
+    )
+    b1.write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    rows1 = spark.read.parquet(out).collect()
+    # one survivor per distinct normalized text (WITHIN-batch winner is
+    # engine-arbitrary: docs 1 and 3 normalize identically)
+    assert len(rows1) == 2
+    assert {r["doc_id"] for r in rows1} <= {1, 2, 3}
+    survivors1 = {r["doc_id"] for r in rows1}
+
+    b2 = spark.createDataFrame(
+        [(4, "alpha beta gamma"), (5, "zeta eta"), (6, "delta epsilon")], schema
+    )
+    b2.write.mode("append").parquet(src)
+    run_once()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # CROSS-batch state: 4 and 6 duplicate batch-1 hashes -> dropped;
+    # only the new zeta doc is appended
+    assert got2 == survivors1 | {5}
+
+
+def test_streaming_dup_counts_stateful(spark, tmp_path):
+    """applyInPandasWithState: running (keep_id, n_seen) per content
+    hash, accumulated across batches through the checkpointed state."""
+    from walker_spark.streaming.dedup import streaming_dup_counts
+
+    schema = "doc_id long, text string"
+    src, ck, sink = (str(tmp_path / d) for d in ("src", "ck", "sink"))
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "alpha beta gamma")],
+        schema,
+    ).write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        # memory sinks can't recover from a checkpoint; foreachBatch +
+        # append-parquet can, and n_seen is monotone so the max per
+        # hash IS the latest state
+        def emit(df, _epoch):
+            df.write.mode("append").parquet(sink)
+
+        q = (
+            streaming_dup_counts(stream)
+            .writeStream.foreachBatch(emit)
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(sink).groupBy("keep_id").agg(
+            F.max("n_seen").alias("n_seen")
+        ).collect()
+        return {r["keep_id"]: r["n_seen"] for r in rows}
+
+    first = run_once()
+    assert first == {1: 2, 2: 1}  # doc 3 folded into hash of doc 1
+
+    spark.createDataFrame(
+        [(9, "alpha beta gamma"), (10, "delta epsilon")], schema
+    ).write.mode("append").parquet(src)
+    second = run_once()
+    # state carried across the restart: counts continue; min keep_id kept
+    assert second == {1: 3, 2: 2}
