@@ -13,7 +13,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_cli_loops_and_report(spark, tmp_path):
-    spec = SiteSpec(seed=5, n_hosts=2, n_pages=24)
+    spec = SiteSpec(seed=5, n_hosts=2, n_pages=14)  # smallest site that still multi-rounds
     paths = write_pages_tables(spark, spec, str(tmp_path / "site"))
     cfg = tmp_path / "walker.yaml"
     cfg.write_text(
