@@ -367,3 +367,67 @@ def test_truncated_blobs_are_row_errors(spark):
     out = {r["media_id"]: r for r in decode_and_featurize(df, decoder="real").collect()}
     assert not out[1]["ok"] and not out[2]["ok"] and not out[3]["ok"] and not out[4]["ok"]
     assert out[5]["ok"] and (out[5]["width"], out[5]["height"]) == (6, 4)
+
+
+def test_png_inflate_bomb_rejected():
+    """A crafted IDAT that inflates far past the declared dims must be
+    rejected by the bounded decompressobj BEFORE the excess is
+    allocated (ADVICE r4: MAX_DECODE_PIXELS only bounds declared dims)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from walker_spark.operators.multimodal import encode_png, png_pixels
+
+    good = encode_png(4, 4)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # declared 4x4 RGB (expected inflate = 4*(4*3+1)=52 bytes) but the
+    # IDAT holds 8 MiB of zeros (~8000x the declared size, compressed
+    # to ~8 KiB)
+    sig_ihdr = good[: 8 + 25]  # signature + IHDR chunk (13 data + 12 framing)
+    bomb = sig_ihdr + chunk(b"IDAT", zlib.compress(b"\x00" * (8 << 20), 9)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="inflates past"):
+        png_pixels(bomb)
+    # the intact control still decodes
+    assert png_pixels(good).shape == (4, 4, 3)
+
+
+def test_gif_lzw_output_bounded():
+    """The LZW loop must stop at width*height output bytes — a hostile
+    stream with tiny declared dims may carry an arbitrarily long code
+    stream and must not balloon memory (ADVICE r4)."""
+    from walker_spark.operators.multimodal import encode_gif, gif_pixels
+
+    # build a 2x2 GIF, then splice its (bounded) decode against a
+    # stream that keeps emitting codes long past 4 pixels: re-encode a
+    # large image and transplant its LZW data blocks under 2x2 dims
+    small = bytes(encode_gif(2, 2))
+    big = encode_gif(64, 64)
+
+    def descriptor_pos(blob: bytes) -> int:
+        # header(13) + optional GCT, skipping extension blocks, to 0x2C
+        pos = 13
+        if blob[10] & 0x80:
+            pos += 3 * (2 << (blob[10] & 0x07))
+        while blob[pos] == 0x21:
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        assert blob[pos] == 0x2C
+        return pos
+
+    si, bi = descriptor_pos(small), descriptor_pos(big)
+    assert not big[bi + 9] & 0x80  # no local color table to skip
+    hostile = small[: si + 10] + big[bi + 10 :]
+    px = gif_pixels(hostile)  # must return promptly with 2x2, not OOM
+    assert px.shape == (2, 2, 3)

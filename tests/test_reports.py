@@ -110,6 +110,10 @@ def test_pagination_and_highscore(results):
     page0 = [r["url"].split("/")[-1] for r in R.paginate(results, 0, 3).collect()]
     page1 = [r["url"].split("/")[-1] for r in R.paginate(results, 1, 3).collect()]
     assert page0 == ["a", "b", "c"] and page1 == ["err", "missing", "noh1"]
+    # negative page: service.go:153-165 computes end BEFORE clamping
+    # start, end <= start -> the FULL sorted set comes back unsliced
+    full = [r["url"].split("/")[-1] for r in R.paginate(results, -1, 3).collect()]
+    assert len(full) == results.count() and full[:3] == page0
     hs = R.highscore(results).collect()
     assert [r["rank"] for r in hs] == list(range(1, 8))
     assert hs[0]["duration_us"] == 30000

@@ -243,7 +243,16 @@ def png_pixels(blob: bytes) -> "np.ndarray":
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    px = _unfilter(zlib.decompress(bytes(idat)), width, height, channels)
+    # Bounded inflate: dims are validated above, but a crafted IDAT can
+    # still inflate ~1000x past the declared size — cap the output at
+    # exactly the filtered-scanline byte count and reject any stream
+    # that would produce more, BEFORE allocating the excess.
+    expected = height * (width * channels + 1)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected)
+    if dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1):
+        raise ValueError("PNG IDAT inflates past declared dimensions")
+    px = _unfilter(raw, width, height, channels)
     return px.reshape(height, width, channels).astype(np.float32)
 
 
@@ -817,7 +826,11 @@ def gif_pixels(blob: bytes) -> "np.ndarray":
     prev: bytes | None = None
     out = bytearray()
     i = 0
-    while True:
+    # each iteration appends >=1 byte, so this bound also caps table
+    # growth — a hostile stream with tiny declared dims can't balloon
+    # the dictionary past the pixel budget
+    max_out = width * height
+    while len(out) < max_out:
         while nbits < code_size:
             if i >= len(data):
                 raise ValueError("GIF LZW stream truncated")

@@ -173,11 +173,17 @@ def list_report(results: DataFrame) -> DataFrame:
 
 def paginate(results: DataFrame, page: int, page_size: int) -> DataFrame:
     """W3 (``service.go:137-166``): lexicographic URL sort, page slice.
-    Out-of-range input follows the reference: service.go clamps
-    ``start < 0`` to 0, so a negative page returns the FIRST page."""
+    Out-of-range input follows the reference exactly: service.go
+    computes ``end = start + pageSize`` BEFORE clamping ``start < 0``
+    to 0, then only slices when ``end > start`` — so any negative page
+    leaves ``end <= start`` and the FULL unsliced (sorted) result set
+    is returned, not the first page (service.go:153-165)."""
     w = Window.orderBy(F.col("url").asc())
-    start = max(0, page * page_size)
+    start = page * page_size
     end = start + page_size
+    start = max(0, start)
+    if end <= start:
+        return results.orderBy(F.col("url").asc())
     return (
         results.withColumn("_rn", F.row_number().over(w) - 1)
         .filter((F.col("_rn") >= start) & (F.col("_rn") < end))

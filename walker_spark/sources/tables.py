@@ -214,6 +214,43 @@ class IcebergTableIO:
         self.catalog = catalog
         self.namespace = namespace or namespace_for_root(root)
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{self.namespace}")
+        if namespace is None:
+            self._warn_if_legacy_namespace()
+
+    def _warn_if_legacy_namespace(self) -> None:
+        """Checkpoint-compat guard: before the root-derived namespace
+        existed, every checkpoint lived under the fixed ``walker``
+        namespace. A pre-existing checkpoint there would silently look
+        absent under the new derivation (``exists()`` False -> crawl
+        restarts from scratch), so if OUR namespace is empty while the
+        legacy one holds tables, warn loudly and name the override
+        (``namespace='walker'``) instead of restarting silently."""
+        import warnings
+
+        if self.namespace == "walker":
+            return
+        try:
+            ours = self.spark.sql(
+                f"SHOW TABLES IN {self.catalog}.{self.namespace}"
+            ).count()
+            legacy_ns = [
+                r[0]
+                for r in self.spark.sql(f"SHOW NAMESPACES IN {self.catalog}").collect()
+            ]
+            if ours == 0 and "walker" in legacy_ns:
+                legacy = self.spark.sql(f"SHOW TABLES IN {self.catalog}.walker").count()
+                if legacy > 0:
+                    warnings.warn(
+                        f"Iceberg namespace {self.catalog}.{self.namespace} (derived "
+                        f"from root {self.root!r}) is empty, but the legacy fixed "
+                        f"namespace {self.catalog}.walker holds {legacy} table(s). "
+                        "If this is a pre-existing checkpoint written before "
+                        "root-derived namespaces, pass namespace='walker' to resume "
+                        "it; otherwise the crawl will start fresh.",
+                        stacklevel=3,
+                    )
+        except Exception:
+            pass  # a catalog that can't SHOW yet is a fresh catalog
 
     def _ident(self, name: str) -> str:
         safe = "".join(c if c.isalnum() else "_" for c in name.strip("/"))

@@ -45,9 +45,14 @@ def streaming_exact_dedup(
     occurrences — in the SAME or ANY LATER micro-batch — are dropped by
     the engine's keyed state. With ``time_col`` the dedup horizon is
     bounded by the watermark (``dropDuplicatesWithinWatermark``), the
-    bounded-state trade for infinite streams."""
+    bounded-state trade for infinite streams.
+
+    The key is the 128-bit md5 of the normalized text, not a 64-bit
+    hash: at the 10^10-doc scale this module targets, expected 64-bit
+    collisions (~n^2/2^65) would silently drop millions of
+    non-duplicates; at 128 bits the expectation is ~1e-19."""
     hashed = stream.withColumn(
-        "text_hash", F.xxhash64(normalize_text_expr(F.col(text_col)))
+        "text_hash", F.md5(normalize_text_expr(F.col(text_col)))
     )
     if time_col is not None:
         return hashed.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
@@ -67,12 +72,13 @@ def streaming_dup_counts(
     canonical survivor, same rule as ``exact_dedup``; "first arrival"
     would be micro-batch-order-dependent), n_seen the lifetime
     occurrence count. State persists in the checkpoint across
-    micro-batches and restarts."""
+    micro-batches and restarts. Keyed on 128-bit md5 like
+    :func:`streaming_exact_dedup` (collision-negligible at 10^10)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     hashed = stream.select(
-        F.xxhash64(normalize_text_expr(F.col(text_col))).alias("text_hash"),
+        F.md5(normalize_text_expr(F.col(text_col))).alias("text_hash"),
         F.col(id_col).cast("long").alias("id"),
     )
 
@@ -92,7 +98,7 @@ def streaming_dup_counts(
 
     return hashed.groupBy("text_hash").applyInPandasWithState(
         fn,
-        outputStructType="text_hash long, keep_id long, n_seen long",
+        outputStructType="text_hash string, keep_id long, n_seen long",
         stateStructType="keep_id long, n_seen long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
