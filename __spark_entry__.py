@@ -564,20 +564,20 @@ def q_dedup_minhash_lsh(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash near-dup pairs, hamming ≤ 8. The md5-prefix token-hash
-    family is shared with DuckDB, so the oracle recomputes the exact
-    signature in SQL; pigeonhole banding has recall 1.0 by construction,
-    so the oracle is the exact hamming cross join. The entry runs with
-    ``max_bucket=None`` — lossless banding, matching the oracle's
-    assumption BY CONSTRUCTION rather than by the cap happening not to
-    bind at the tested SF (ADVICE r3: the default cap=200 only matched
-    because sf0.01's max bucket was 153; fixture growth would have
-    silently dropped candidates). The capped path stays the production
-    default for degenerate-skew corpora and is pytest-covered."""
+    """SimHash near-dup pairs, hamming ≤ 8, on the PRODUCTION path: the
+    default ``max_bucket=200`` skew cap stays ON, and the DuckDB oracle
+    replicates the cap itself — the same 9-segment banding plus
+    ``row_number() OVER (band, bucket ORDER BY id) <= 200`` in SQL
+    (mirroring dedup.py's capped window exactly) — so the hash match
+    verifies the deployed plan, not a lossless variant the entry never
+    ships (VERDICT r4 #3; the r3 lossless-vs-capped delta itself is
+    pinned by test_simhash_bucket_cap_semantics). The md5-prefix
+    token-hash family is shared with DuckDB, so the oracle recomputes
+    the exact signature in SQL."""
     from walker_spark.operators.dedup import simhash_pairs
 
     d = _t(spark, sf, "documents")
-    return simhash_pairs(d, max_hamming=8, max_bucket=None).orderBy("id_a", "id_b")
+    return simhash_pairs(d, max_hamming=8).orderBy("id_a", "id_b")
 
 
 def q_dedup_cluster_assign(spark, sf):
@@ -1578,11 +1578,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT n.id, coalesce(s0.sim, repeat('0', 64)) AS sim
               FROM (SELECT id FROM norm WHERE t IS NOT NULL) n
               LEFT JOIN sim0 s0 USING (id)
+            ),
+            -- production banding replica: max_hamming=8 -> 9 segments of
+            -- 64//9 = 7 bits (bit 64 rides in no band, exactly like the
+            -- Spark substring loop), capped at 200 members per
+            -- (band, bucket) by the same id-ordered row_number window
+            -- as dedup.py simhash_pairs
+            banded AS (
+              SELECT id, g.s AS band, substr(sim, g.s * 7 + 1, 7) AS bucket
+              FROM sim, generate_series(0, 8) AS g(s)
+            ),
+            capped AS (
+              SELECT id, band, bucket FROM (
+                SELECT id, band, bucket,
+                       row_number() OVER (PARTITION BY band, bucket ORDER BY id) AS rn
+                FROM banded
+              ) WHERE rn <= 200
+            ),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM capped a
+              JOIN capped b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
             )
-            SELECT a.id AS id_a, b.id AS id_b,
-                   CAST(hamming(a.sim, b.sim) AS INT) AS hamming
-            FROM sim a JOIN sim b ON a.id < b.id
-            WHERE hamming(a.sim, b.sim) <= 8
+            SELECT c.id_a, c.id_b,
+                   CAST(hamming(sa.sim, sb.sim) AS INT) AS hamming
+            FROM cand c
+            JOIN sim sa ON sa.id = c.id_a
+            JOIN sim sb ON sb.id = c.id_b
+            WHERE hamming(sa.sim, sb.sim) <= 8
             ORDER BY id_a, id_b
         """,
         # text_fingerprint: same shared md5-prefix family; windows are
