@@ -576,27 +576,40 @@ def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
-    max_iters: int = 25,
+    max_iters: int = 50,
+    algorithm: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Dedup-cluster assignment: connected components over a near-dup
     pair set — the step every dedup pipeline runs AFTER pair generation
     (minhash/simhash/embedding pairs → one canonical doc per cluster).
 
-    Distributed label propagation: every node starts labeled with its
-    own id; each round, a node takes the min label among itself and its
-    neighbors; fixpoint when no label changes. Rounds needed = graph
-    diameter — near-dup clusters are dense and shallow (dup groups,
-    boilerplate families), so this converges in a handful of rounds
-    where a 100 TB corpus's pair set would still be edge-partitioned
-    shuffles (2 per round: neighbor join + min-aggregate). Lineage is
-    cut per round with an eager localCheckpoint (the same iterative-
-    plan discipline as the BSP crawl loop); ``max_iters`` is a
-    corrupt-input backstop, raised loudly rather than silently
+    Two algorithms behind one contract:
+
+    * ``"star"`` (default, the scale path): alternating large-star /
+      small-star contraction — the standard public CC-on-MapReduce
+      construction (Kiveris et al., "Connected Components in MapReduce
+      and Beyond", 2014). Each round is two neighborhood-min rounds
+      (groupBy + join, ids only); convergence is O(log n) ROUNDS
+      REGARDLESS OF DIAMETER, so a pathological chain-shaped pair
+      graph costs ~log n shuffles instead of n.
+    * ``"label"``: plain min-label propagation — one label-min per
+      round, fixpoint when no label changes. Rounds = graph diameter;
+      cheapest per round on the shallow dense clusters dedup actually
+      produces, kept as the parity reference.
+
+    Both cut lineage per round with an eager localCheckpoint (the same
+    iterative-plan discipline as the BSP crawl loop); ``max_iters`` is
+    a corrupt-input backstop, raised loudly rather than silently
     mislabeling.
 
     Returns (id, component) with component = MIN id reachable —
     deterministic, and directly SQL-checkable by a recursive-CTE
     closure (the dedup_cluster_assign oracle)."""
+    if algorithm == "star":
+        return _cc_two_phase(pairs, a_col, b_col, max_iters, stats)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} (star|label)")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -632,4 +645,115 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "pathological pair graph (diameter > max_iters)?"
+    )
+
+
+def _cc_two_phase(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iters: int,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.
+    2014). Invariants per the paper: both operations preserve
+    connectivity, never add cross-component edges, and monotonically
+    contract components toward a star rooted at the component minimum;
+    alternation converges in O(log n) rounds. Edge set is kept
+    canonical-undirected ((a < b) once per pair, ids only); convergence
+    is detected by an (edge-count, xxhash-sum) signature so a round
+    costs exactly one extra tiny aggregate, not a full self-join diff.
+
+    * large-star(u): every neighbor v > u attaches to
+      m = min(N(u) ∪ {u}) — computed over the SYMMETRIC neighbor view.
+    * small-star(u): orienting every edge max→min, the larger endpoint
+      u and all its smaller neighbors attach to m = min(N⁻(u)).
+    """
+    E = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).cast("long").alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        E.select(F.col("a").alias("id"))
+        .union(E.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(edges: DataFrame) -> tuple:
+        # bit_xor fold, not sum: ANSI mode (Spark 4 default) throws
+        # on long-sum overflow, and xor is an equally good set signature
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _sig(E)
+    for rounds in range(1, max_iters + 1):
+        if stats is not None:
+            stats["rounds"] = rounds
+        # ---- large-star ----
+        sym = E.select("a", "b").union(
+            E.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least("a", "mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(
+                F.least("b", "m").alias("a"), F.greatest("b", "m").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star (edges oriented max u -> min v) ----
+        directed = large.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        smins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            directed.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .union(smins.select(F.col("m").alias("a"), F.col("u").alias("b")))
+            .select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        E = small
+        sig = _sig(E)
+        if sig == prev:
+            # star forest: every node's component is its min neighbor
+            # (members point at the center; the center's neighbors are
+            # all larger, so least(id, min-neighbor) is the center)
+            sym = E.select("a", "b").union(
+                E.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            return (
+                nodes.join(sym, nodes.id == sym.a, "left")
+                .groupBy("id")
+                .agg(F.min("b").alias("mb"))
+                .select(
+                    "id",
+                    F.least(
+                        F.col("id"), F.coalesce(F.col("mb"), F.col("id"))
+                    ).alias("component"),
+                )
+            )
+        prev = sig
+    raise RuntimeError(
+        f"connected_components(star) did not converge in {max_iters} rounds — "
+        "corrupt pair graph?"
     )
