@@ -148,3 +148,62 @@ def test_streaming_dup_counts_stateful(spark, tmp_path):
     second = run_once()
     # state carried across the restart: counts continue; min keep_id kept
     assert second == {1: 3, 2: 2}
+
+
+def test_streaming_minhash_matches_batch(spark, tmp_path):
+    """VERDICT r4 #7: replay the fixture corpus as a stream in three
+    micro-batch waves THROUGH A QUERY RESTART, exact-verify the
+    candidate stream, and prove the deduped verified pair SET equals
+    the batch minhash_lsh_pairs answer on the same corpus + params.
+    The (band,bucket)-keyed bucket state must ride the checkpoint: the
+    third wave's docs pair with first-wave bucket members seen before
+    the restart."""
+    from walker_spark.operators.dedup import minhash_lsh_pairs
+    from walker_spark.streaming.dedup import streaming_minhash_pairs
+
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "text")
+        .cache()
+    )
+    params = dict(num_hashes=64, bands=16, shingle_n=3, jaccard_threshold=0.5)
+    batch = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(corpus, **params).collect()
+    }
+    assert batch, "fixture produced no pairs — threshold too high for the test"
+
+    src, ck, sink = (str(tmp_path / d) for d in ("src", "ck", "sink"))
+    waves = [
+        corpus.filter(F.col("doc_id") % 3 == k) for k in range(3)
+    ]
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+        def emit(df, _epoch):
+            df.write.mode("append").parquet(sink)
+
+        q = (
+            streaming_minhash_pairs(stream, corpus, **params)
+            .writeStream.foreachBatch(emit)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    waves[0].write.mode("append").parquet(src)
+    waves[1].write.mode("append").parquet(src)
+    run_once()  # waves 0+1, then the query STOPS (restart boundary)
+    waves[2].write.mode("append").parquet(src)
+    run_once()  # wave 2 resumes from the checkpointed bucket state
+
+    streamed = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.read.parquet(sink).collect()
+    }  # set-dedupe: multi-band/replayed emissions are idempotent upserts
+    corpus.unpersist()
+    assert streamed == batch

@@ -1,8 +1,11 @@
-"""Streaming deduplication: exact dedup over a continuous document
-stream — the ingest-side counterpart of ``operators/dedup.py`` for
-corpora that land incrementally (a live crawl writing results parquet).
+"""Streaming deduplication: exact AND near-dup over a continuous
+document stream — the ingest-side counterpart of
+``operators/dedup.py`` for corpora that land incrementally (a live
+crawl writing results parquet).
 
-Two surfaces, idiomatic-Spark-first:
+Surfaces, idiomatic-Spark-first (near-dup candidates + verify are
+:func:`streaming_minhash_candidates` / :func:`streaming_minhash_pairs`
+below):
 
 * :func:`streaming_exact_dedup` — the BUILT-IN path: hash-key the
   normalized text and let Structured Streaming's stateful
@@ -32,7 +35,12 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import normalize_text_expr
 
-__all__ = ["streaming_exact_dedup", "streaming_dup_counts"]
+__all__ = [
+    "streaming_exact_dedup",
+    "streaming_dup_counts",
+    "streaming_minhash_candidates",
+    "streaming_minhash_pairs",
+]
 
 
 def streaming_exact_dedup(
@@ -102,4 +110,123 @@ def streaming_dup_counts(
         stateStructType="keep_id long, n_seen long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_minhash_candidates(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Ingest-side MinHash-LSH candidate generation: the streaming
+    counterpart of ``operators/dedup.py::minhash_lsh_pairs``'s band
+    join (VERDICT r4 #7).
+
+    Each arriving doc is banded by the SAME vectorized signature UDF as
+    the batch op (``minhash_text_buckets_udf`` — bit-identical bucket
+    ids), then ``applyInPandasWithState`` keyed by (band, bucket) keeps
+    the bucket's member ids as state and emits a candidate pair for
+    every (new doc × previously-seen member) collision — so the union
+    of emitted pairs over a replayed stream equals the batch band
+    join's candidate set, whatever the micro-batch slicing (proven by
+    test_streaming_minhash_matches_batch).
+
+    Scale/semantics notes, honestly:
+
+    * State partitions by (band, bucket) — the same key the batch op
+      shuffles on — and holds ids only (≤ ``max_bucket`` longs per
+      bucket), so state size is bounded per key and horizontal.
+    * ``max_bucket`` caps bucket membership in ARRIVAL order (a stream
+      cannot know future smaller ids); the batch cap keeps the
+      ``max_bucket`` SMALLEST ids. Identical only where the cap does
+      not bind — size the cap as the skew guard it is, not a sampler.
+    * A pair colliding in k bands is emitted up to k times (possibly in
+      different micro-batches); the batch op's global dropDuplicates
+      has no bounded-state streaming equivalent, so consumers treat
+      pairs as idempotent upserts (the exact-verify join downstream is
+      insensitive to replays). Re-delivered doc ids are no-ops.
+    * Rows within a micro-batch are processed in id order, so output is
+      deterministic for a given batch slicing.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import minhash_text_buckets_udf
+
+    buckets = minhash_text_buckets_udf(num_hashes, bands, shingle_n)
+    banded = stream.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(buckets(F.col(text_col))).alias("band", "bucket"),
+    )
+
+    def fn(key, pdfs, state):
+        seen: list = list(state.get[0]) if state.exists else []
+        members = set(seen)
+        out_a: list = []
+        out_b: list = []
+        for pdf in pdfs:
+            for i in sorted(int(x) for x in pdf["id"]):
+                if i in members:
+                    continue  # replayed doc: idempotent
+                if len(seen) >= max_bucket:
+                    continue  # skew cap: degenerate bucket stops pairing
+                for j in seen:
+                    out_a.append(min(i, j))
+                    out_b.append(max(i, j))
+                seen.append(i)
+                members.add(i)
+        state.update((seen,))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        fn,
+        outputStructType="id_a long, id_b long",
+        stateStructType="ids array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_minhash_pairs(
+    stream: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidates + exact-Jaccard verify in one streaming query: the
+    candidate stream stream-static-joins the (static) corpus's shingle
+    features twice and keeps pairs at/above the threshold — the same
+    verify expression as the batch op, so a replayed stream's verified
+    pair SET equals ``minhash_lsh_pairs`` output (modulo the replay
+    multiplicity documented on the candidate op)."""
+    from ..operators.dedup import shingle_expr
+
+    cands = streaming_minhash_candidates(
+        stream, text_col, id_col, num_hashes, bands, shingle_n, max_bucket
+    )
+    sh = corpus.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("id"),
+        shingle_expr(F.col(text_col), shingle_n).alias("sh"),
+    )
+    pairs = cands.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.when(union > 0, F.round(inter / union, 4)).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
     )
