@@ -2,6 +2,7 @@
 process — crawl with --loops 2, render a report endpoint and the
 prometheus text (the `walker -c config.yaml` analogue)."""
 
+import pytest
 import json
 import os
 import subprocess
@@ -12,6 +13,8 @@ from walker_spark.sources.synthetic import SiteSpec, write_pages_tables
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# multi-loop CLI sweep (loop semantics stay default in test_loops) — ~1 min; VERDICT r4 #4 suite-wall triage
+@pytest.mark.slow
 def test_cli_loops_and_report(spark, tmp_path):
     spec = SiteSpec(seed=5, n_hosts=2, n_pages=14)  # smallest site that still multi-rounds
     paths = write_pages_tables(spark, spec, str(tmp_path / "site"))

@@ -58,6 +58,8 @@ def test_bloom_split_semantics(spark):
             assert maybe, f"false negative for {u}"  # forbidden by construction
 
 
+# full dual-crawl bloom-vs-exact parity sweep — ~1 min; VERDICT r4 #4 suite-wall triage
+@pytest.mark.slow
 def test_crawl_with_bloom_forced_matches_without(spark, tmp_path):
     from walker_spark.config import CrawlConfig, Target
     from walker_spark.plans.crawl import Crawler

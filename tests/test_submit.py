@@ -4,6 +4,7 @@ package, ``spark-submit --py-files`` it from a scrubbed environment
 both the driver script and the executor python workers resolve
 ``walker_spark`` from the distributed zip alone."""
 
+import pytest
 import json
 import os
 import shutil
@@ -13,6 +14,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
 
 
+# spark-submit --py-files end-to-end (the BASELINE.json launch-mode check) — ~1 min; VERDICT r4 #4 suite-wall triage
+@pytest.mark.slow
 def test_spark_submit_py_files(tmp_path):
     zip_base = str(tmp_path / "walker_spark")
     zip_path = shutil.make_archive(zip_base, "zip", REPO, "walker_spark")
