@@ -340,28 +340,35 @@ def _kernel_subprocess(cores: int, paths: dict) -> dict:
         "s = bench._spark(%d); print('@@' + json.dumps(bench.run_kernel(s, %r, 'scale%d'))); s.stop()"
         % (os.path.dirname(os.path.abspath(__file__)), cores, paths, cores)
     )
+    import tempfile
+
     t0_total, t0_idle = _machine_cpu()
-    proc = subprocess.Popen(
-        [sys.executable, "-c", code],
-        stdout=subprocess.PIPE,
-        stderr=subprocess.PIPE,
-        text=True,
-    )
-    loads: list[float] = []
-    tree = 0
-    deadline = time.time() + 1800
-    while proc.poll() is None and time.time() < deadline:
-        loads.append(os.getloadavg()[0])
-        # sample the tree while it's alive — the final sample before
-        # exit is a lower bound on the tree's total burn (children
-        # accumulate monotonically while running)
-        tree = max(tree, _tree_jiffies(proc.pid))
-        time.sleep(5)
-    try:
-        out_s, err_s = proc.communicate(timeout=60)
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        out_s, err_s = proc.communicate()
+    # file-backed stdio, not PIPE: nothing reads the pipes while the
+    # 100-500 s leg runs, so a chatty child (stack trace, GC log) would
+    # fill the 64 KB pipe buffer and deadlock the measurement
+    with tempfile.TemporaryFile(mode="w+") as fo, tempfile.TemporaryFile(
+        mode="w+"
+    ) as fe:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", code], stdout=fo, stderr=fe, text=True
+        )
+        loads: list[float] = []
+        tree = 0
+        deadline = time.time() + 1800
+        while proc.poll() is None and time.time() < deadline:
+            loads.append(os.getloadavg()[0])
+            # sample the tree while it's alive — the final sample before
+            # exit is a lower bound on the tree's total burn (children
+            # accumulate monotonically while running)
+            tree = max(tree, _tree_jiffies(proc.pid))
+            time.sleep(5)
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+        fo.seek(0)
+        out_s = fo.read()
+        fe.seek(0)
+        err_s = fe.read()
     t1_total, t1_idle = _machine_cpu()
     d_total = max(1, t1_total - t0_total)
     busy = (t1_total - t0_total) - (t1_idle - t0_idle)
