@@ -373,6 +373,21 @@ def q_w3_pagination(spark, sf):
     )
 
 
+def q_w3_pagination_negative(spark, sf):
+    """Reference parity for out-of-range pages (service.go:153-165):
+    ``end = start + pageSize`` is computed BEFORE the ``start < 0``
+    clamp, so any negative page leaves ``end <= start`` and the full
+    unsliced sorted result set comes back — not the first page. Runs
+    the real ``paginate`` operator (r5 parity fix) against an oracle
+    that simply returns the whole sorted relation."""
+    from walker_spark.operators.reports import paginate
+
+    c = _t(spark, sf, "customer").select(
+        F.col("c_name").alias("url"), "c_custkey"
+    )
+    return paginate(c, -1, 50).orderBy("url", "c_custkey")
+
+
 def q_w4_top20_truncation(spark, sf):
     li = _t(spark, sf, "lineitem").filter(F.col("l_partkey") <= 200)
     return (
@@ -815,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_quantiles": q_a12_quantiles,
         "w1_highscore": q_w1_highscore,
         "w3_pagination": q_w3_pagination,
+        "w3_pagination_negative": q_w3_pagination_negative,
         "w4_top20_truncation": q_w4_top20_truncation,
         "j3_broken_links": q_j3_broken_links,
         "j4_reverse_links": q_j4_reverse_links,
@@ -1256,6 +1272,10 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY value ASC, event_id ASC) AS rank
             FROM events
             QUALIFY rank <= 100
+        """,
+        "w3_pagination_negative": """
+            SELECT c_name AS url, c_custkey FROM customer
+            ORDER BY url, c_custkey
         """,
         "w3_pagination": """
             SELECT c_custkey, c_name,

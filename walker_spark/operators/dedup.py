@@ -698,17 +698,23 @@ def _cc_two_phase(
     for rounds in range(1, max_iters + 1):
         if stats is not None:
             stats["rounds"] = rounds
+        # Each star op needs min-over-neighborhood alongside every
+        # neighbor row: an unbounded partition window computes it in
+        # the SAME shuffle that groups the neighborhood (no ORDER BY →
+        # no sort, one pass), where a groupBy + re-join would shuffle
+        # the edge set twice per op. A giant-star hub lands its whole
+        # neighborhood on one task either way (the re-join co-locates
+        # on the same key); large-star is precisely the operation that
+        # shrinks such hubs round over round.
+        from pyspark.sql import Window
+
         # ---- large-star ----
         sym = E.select("a", "b").union(
             E.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        mins = (
-            sym.groupBy("a")
-            .agg(F.min("b").alias("mn"))
-            .select("a", F.least("a", "mn").alias("m"))
-        )
+        wa = Window.partitionBy("a")
         large = (
-            sym.join(mins, "a")
+            sym.withColumn("m", F.least(F.col("a"), F.min("b").over(wa)))
             .filter(F.col("b") > F.col("a"))
             .select(
                 F.least("b", "m").alias("a"), F.greatest("b", "m").alias("b")
@@ -719,12 +725,12 @@ def _cc_two_phase(
         )
         # ---- small-star (edges oriented max u -> min v) ----
         directed = large.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        smins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        wu = Window.partitionBy("u")
+        dm = directed.withColumn("m", F.min("v").over(wu))
         small = (
-            directed.join(smins, "u")
-            .filter(F.col("v") != F.col("m"))
+            dm.filter(F.col("v") != F.col("m"))
             .select(F.col("m").alias("a"), F.col("v").alias("b"))
-            .union(smins.select(F.col("m").alias("a"), F.col("u").alias("b")))
+            .union(dm.select(F.col("m").alias("a"), F.col("u").alias("b")))
             .select(
                 F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
             )
