@@ -472,6 +472,10 @@ def main():
         dt = round(time.time() - t0, 3)
         out["queries"][name] = dt
         out.setdefault("query_rows", {})[name] = n
+        # loadavg at query end: when the regression guard flags a query,
+        # this is the attribution context (a 2x delta with loadavg >> our
+        # own task count is the machine, not the plan)
+        out.setdefault("query_load", {})[name] = round(os.getloadavg()[0], 1)
         total += dt
 
     # --- full BSP crawl to fixpoint at full cores (headline) ---
