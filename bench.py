@@ -513,6 +513,12 @@ def main():
         zpaths = gen_site(
             spark, N_HOSTS, skew_pages, zipf_s=2.0, min_host_pages=skew_budget
         )
+        # untimed warm-up on the small crawl site: the FIRST budgeted
+        # bucketed kernel in a session pays ~11 s of one-time plan/
+        # codegen for the salted politeness-over-bucketed-scan shape
+        # (measured: cold 19.9 s vs warm 8.8-9.5 s on identical input);
+        # the skew section measures SKEW, not cold-start
+        run_kernel(spark, paths, "skewwarm", host_budget=skew_budget)
         skew = {
             "kernel_uniform": run_kernel(
                 spark, upaths, "skewuni", host_budget=skew_budget

@@ -207,3 +207,70 @@ def test_streaming_minhash_matches_batch(spark, tmp_path):
     }  # set-dedupe: multi-band/replayed emissions are idempotent upserts
     corpus.unpersist()
     assert streamed == batch
+
+
+def test_streaming_minhash_state_ttl(spark, tmp_path):
+    """Bounded-state mode: with state_ttl, docs pair only within the
+    processing-time horizon — a bucket whose last arrival is older than
+    the TTL is evicted (idle keys by timeout, colliding keys by the
+    data-path horizon check), so a later identical doc pairs with its
+    own wave but NOT with pre-horizon members.
+
+    One continuously-triggered query (availableNow + registered
+    processing-time timeouts is a non-terminating combination — the
+    engine keeps scheduling timeout batches); waves are appended live
+    and the sink polled, restart resilience is covered by
+    test_streaming_minhash_matches_batch."""
+    import time
+
+    from walker_spark.streaming.dedup import streaming_minhash_candidates
+
+    schema = "doc_id long, text string"
+    src, ck, sink = (str(tmp_path / d) for d in ("src", "ck", "sink"))
+    fam = "identical near duplicate family text for the ttl horizon test"
+    spark.createDataFrame([(1, fam), (2, fam)], schema).write.parquet(src)
+
+    def emit(df, _epoch):
+        df.write.mode("append").parquet(sink)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_minhash_candidates(stream, state_ttl="2 seconds")
+        .writeStream.foreachBatch(emit)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+    )
+
+    def sink_pairs():
+        try:
+            return {
+                (r["id_a"], r["id_b"]) for r in spark.read.parquet(sink).collect()
+            }
+        except Exception:
+            return set()  # sink not written yet
+
+    def wait_for(expected, secs=90):
+        deadline = time.time() + secs
+        while time.time() < deadline:
+            got = sink_pairs()
+            if got >= expected:
+                return got
+            time.sleep(1)
+        raise AssertionError(f"sink never reached {expected}: {sink_pairs()}")
+
+    try:
+        got1 = wait_for({(1, 2)})
+        assert got1 == {(1, 2)}  # within horizon: the pair is found
+        time.sleep(3)  # let the 2 s TTL lapse past docs 1 and 2
+        # docs 9 and 10 arrive together OUTSIDE the horizon: they pair
+        # with each other (same fresh bucket) but NOT with the evicted
+        # 1 and 2 — both arms of the horizon semantic in one wave
+        spark.createDataFrame([(9, fam), (10, fam)], schema).write.mode(
+            "append"
+        ).parquet(src)
+        got2 = wait_for({(1, 2), (9, 10)})
+        assert got2 == {(1, 2), (9, 10)}
+    finally:
+        q.stop()
+        q.awaitTermination(60)

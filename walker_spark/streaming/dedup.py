@@ -121,6 +121,7 @@ def streaming_minhash_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket: int = 200,
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Ingest-side MinHash-LSH candidate generation: the streaming
     counterpart of ``operators/dedup.py::minhash_lsh_pairs``'s band
@@ -151,11 +152,30 @@ def streaming_minhash_candidates(
       insensitive to replays). Re-delivered doc ids are no-ops.
     * Rows within a micro-batch are processed in id order, so output is
       deterministic for a given batch slicing.
+    * ``state_ttl`` (e.g. ``"30 minutes"``): bound state for infinite
+      streams — a bucket idle longer than the TTL is evicted
+      (processing-time timeout), so docs only pair within the horizon.
+      The streaming analogue of ``dropDuplicatesWithinWatermark``'s
+      bounded-state trade: global near-dup needs unbounded state by
+      definition; within-horizon near-dup does not.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..operators.dedup import minhash_text_buckets_udf
+
+    ttl_ms = None
+    if state_ttl is not None:
+        qty, unit = state_ttl.split()
+        ttl_ms = int(
+            float(qty)
+            * {
+                "millisecond": 1,
+                "second": 1000,
+                "minute": 60_000,
+                "hour": 3_600_000,
+            }[unit.rstrip("s")]
+        )
 
     buckets = minhash_text_buckets_udf(num_hashes, bands, shingle_n)
     banded = stream.filter(F.col(text_col).isNotNull()).select(
@@ -164,7 +184,24 @@ def streaming_minhash_candidates(
     )
 
     def fn(key, pdfs, state):
-        seen: list = list(state.get[0]) if state.exists else []
+        import time as _time
+
+        # idle-key reclamation: a bucket that saw no doc for a full TTL
+        # is dropped from the state store entirely
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return iter(())
+        now_ms = int(_time.time() * 1000)
+        seen: list = []
+        if state.exists:
+            ids, last_ms = state.get
+            # horizon check on the DATA path too: a key with expired
+            # state that receives new data is invoked with the data
+            # (hasTimedOut only fires on data-less triggers), so the
+            # eviction must also happen here for the TTL to be a real
+            # pairing horizon, not just a memory bound
+            if ttl_ms is None or now_ms - last_ms <= ttl_ms:
+                seen = list(ids)
         members = set(seen)
         out_a: list = []
         out_b: list = []
@@ -179,15 +216,21 @@ def streaming_minhash_candidates(
                     out_b.append(max(i, j))
                 seen.append(i)
                 members.add(i)
-        state.update((seen,))
+        state.update((seen, now_ms))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     return banded.groupBy("band", "bucket").applyInPandasWithState(
         fn,
         outputStructType="id_a long, id_b long",
-        stateStructType="ids array<long>",
+        stateStructType="ids array<long>, last_ms long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -201,6 +244,7 @@ def streaming_minhash_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 200,
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Candidates + exact-Jaccard verify in one streaming query: the
     candidate stream stream-static-joins the (static) corpus's shingle
@@ -211,7 +255,8 @@ def streaming_minhash_pairs(
     from ..operators.dedup import shingle_expr
 
     cands = streaming_minhash_candidates(
-        stream, text_col, id_col, num_hashes, bands, shingle_n, max_bucket
+        stream, text_col, id_col, num_hashes, bands, shingle_n, max_bucket,
+        state_ttl,
     )
     sh = corpus.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("id"),
