@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "tpch_pricing_summary",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_cluster_assign",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
