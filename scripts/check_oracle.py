@@ -40,7 +40,13 @@ def rows_key(cols, rows):
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark = get_spark(
+        master="local[8]",
+        shuffle_partitions=8,
+        # progress-bar \r output interleaves with the ok lines and makes
+        # log greps undercount
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
