@@ -61,8 +61,12 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact duplicate groups on normalized text: (text_hash, n_dups,
     keep_id = min id, dup_ids). Groups of size 1 are dropped (nothing to
-    dedup)."""
-    key = F.xxhash64(normalize_text_expr(F.col(text_col))).alias("text_hash")
+    dedup).
+
+    Keyed on 128-bit md5 (same rationale as ``streaming/dedup.py``): a
+    64-bit key expects ~n²/2⁶⁵ collisions — millions of falsely-merged
+    groups at the 10^10-doc design point; md5 makes that ~1e-19."""
+    key = F.md5(normalize_text_expr(F.col(text_col))).alias("text_hash")
     return (
         df.select(key, F.col(id_col).cast("long").alias("id"))
         .groupBy("text_hash")
