@@ -816,6 +816,72 @@ def q_embedding_near_dup(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_survivors(spark, sf):
+    """End-to-end dedup pipeline (r5): minhash near-dup pairs →
+    connected components → keep ONE doc per cluster (the canonical min
+    id, the batch analogue of walker's first-seen URL dedup,
+    scrapeloop.go:362-364) plus every singleton. Spark side prunes the
+    corpus with a single left_anti join (operators/dedup.py::
+    keep_one_per_cluster); the oracle recomputes survivors from the
+    recursive-CTE closure over the exact-jaccard edge set."""
+    from walker_spark.operators.dedup import (
+        connected_components,
+        keep_one_per_cluster,
+        minhash_lsh_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, jaccard_threshold=0.35, bands=32, num_hashes=128)
+    comp = connected_components(pairs)
+    return (
+        keep_one_per_cluster(d, comp)
+        .select("doc_id", "lang", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+def q_text_train_filter(spark, sf):
+    """C4-style corpus prefilter as a curation report: length /
+    punctuation / digit / language gates per doc (functions/text.py::
+    train_filter, one native-expr pass, no shuffle before the rollup),
+    aggregated per lang with drop-cause attribution. The oracle
+    recomputes every gate from raw text in SQL."""
+    from walker_spark.functions.text import train_filter
+
+    d = _t(spark, sf, "documents")
+    t = train_filter(d, allowed_langs=("en", "de", "fr"))
+    kept_l = F.col("kept").cast("long")
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept_l).alias("n_kept"),
+            F.sum(
+                F.when(F.col("kept"), F.col("n_tokens").cast("long")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("kept_tokens"),
+            F.sum(F.col("drop_len").cast("long")).alias("drop_len"),
+            F.sum(F.col("drop_punct").cast("long")).alias("drop_punct"),
+            F.sum(F.col("drop_digit").cast("long")).alias("drop_digit"),
+            F.sum(F.col("drop_lang").cast("long")).alias("drop_lang"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_source_quality_rollup(spark, sf):
+    """Per-source (per-domain) corpus curation rollup — doc/token volume
+    and average quality per origin (functions/text.py::
+    corpus_quality_rollup): the view a webtext pipeline ranks domains by
+    before sampling. One map-side-combined groupBy; the oracle
+    recomputes token counts, ratios, and the composite quality score
+    from raw text."""
+    from walker_spark.functions.text import corpus_quality_rollup
+
+    return corpus_quality_rollup(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_status_histogram": q_crawl_status_histogram,
@@ -845,11 +911,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_cluster_assign": q_dedup_cluster_assign,
+        "dedup_survivors": q_dedup_survivors,
         "dedup_simhash": q_dedup_simhash,
         "text_token_counts": q_text_token_counts,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_train_filter": q_text_train_filter,
+        "source_quality_rollup": q_source_quality_rollup,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -1475,6 +1544,102 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT)
                      AS cluster_size
             FROM comp c ORDER BY c.id
+        """,
+        "dedup_survivors": f"""
+            WITH RECURSIVE {_MINHASH_PAIR_CTES},
+            cedges AS (
+              SELECT id_a AS src, id_b AS dst FROM mh_pairs
+              UNION
+              SELECT id_b, id_a FROM mh_pairs
+            ),
+            cnodes AS (SELECT DISTINCT src AS id FROM cedges),
+            creach AS (
+              SELECT id, id AS r FROM cnodes
+              UNION
+              SELECT e.dst AS id, creach.r
+              FROM creach JOIN cedges e ON e.src = creach.id
+            ),
+            comp AS (
+              SELECT id, min(r) AS component FROM creach GROUP BY id
+            ),
+            csizes AS (
+              SELECT component, count(*) AS cluster_size
+              FROM comp GROUP BY component
+            )
+            SELECT d.doc_id, d.lang,
+                   CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size
+            FROM documents d
+            LEFT JOIN comp c ON c.id = d.doc_id
+            LEFT JOIN csizes s ON s.component = c.id
+            WHERE c.id IS NULL OR c.id = c.component
+            ORDER BY d.doc_id
+        """,
+        "text_train_filter": """
+            WITH t AS (
+              SELECT lang,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END
+                       AS n_tokens,
+                     round((length(text) - length(regexp_replace(text,
+                         '[^\\w\\s]', '', 'g'))) * 1.0 / length(text), 4)
+                       AS punct_ratio,
+                     round((length(text) - length(regexp_replace(text,
+                         '[0-9]', '', 'g'))) * 1.0 / length(text), 4)
+                       AS digit_ratio
+              FROM documents
+            ), g AS (
+              SELECT lang, n_tokens,
+                     (n_tokens < 5 OR n_tokens > 100000) AS drop_len,
+                     punct_ratio > 0.2 AS drop_punct,
+                     digit_ratio > 0.3 AS drop_digit,
+                     lang NOT IN ('en', 'de', 'fr') AS drop_lang
+              FROM t
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN NOT (drop_len OR drop_punct OR drop_digit
+                                           OR drop_lang)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN NOT (drop_len OR drop_punct OR drop_digit
+                                           OR drop_lang)
+                                 THEN n_tokens ELSE 0 END) AS BIGINT)
+                     AS kept_tokens,
+                   CAST(sum(CASE WHEN drop_len THEN 1 ELSE 0 END) AS BIGINT)
+                     AS drop_len,
+                   CAST(sum(CASE WHEN drop_punct THEN 1 ELSE 0 END) AS BIGINT)
+                     AS drop_punct,
+                   CAST(sum(CASE WHEN drop_digit THEN 1 ELSE 0 END) AS BIGINT)
+                     AS drop_digit,
+                   CAST(sum(CASE WHEN drop_lang THEN 1 ELSE 0 END) AS BIGINT)
+                     AS drop_lang
+            FROM g GROUP BY lang ORDER BY lang
+        """,
+        "source_quality_rollup": """
+            WITH t AS (
+              SELECT source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END
+                       AS n_tokens,
+                     round((length(text) - length(regexp_replace(text,
+                         '[^\\w\\s]', '', 'g'))) * 1.0 / length(text), 4)
+                       AS punct_ratio,
+                     round((length(text) - length(regexp_replace(text,
+                         '[0-9]', '', 'g'))) * 1.0 / length(text), 4)
+                       AS digit_ratio
+              FROM documents
+            ), q AS (
+              SELECT source, n_tokens, punct_ratio,
+                     round((1.0 - least(punct_ratio * 2, 0.5)
+                                - least(digit_ratio, 0.3))
+                           * (CASE WHEN n_tokens BETWEEN 5 AND 100000
+                                   THEN 1.0 ELSE 0.3 END), 4) AS quality_score
+              FROM t
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(n_tokens), 4) AS avg_tokens,
+                   round(avg(punct_ratio), 4) AS avg_punct_ratio,
+                   round(avg(quality_score), 4) AS avg_quality
+            FROM q GROUP BY source ORDER BY source
         """,
         "text_bpe_tokens": r"""
             WITH t AS (

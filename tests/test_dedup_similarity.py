@@ -499,3 +499,69 @@ def test_connected_components_star_matches_label(spark):
     }
     assert star == {(i, 0) for i in range(n)}
     assert stats["rounds"] <= 2 * math.log2(n) + 1, stats
+
+
+def test_keep_one_per_cluster(spark):
+    """Survivor selection over a hand-built component map: exactly one
+    survivor per cluster (the min id), every singleton kept, and
+    cluster_size = member count (1 for singletons)."""
+    from walker_spark.operators.dedup import keep_one_per_cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    comp = spark.createDataFrame(
+        # clusters {0,1,2} and {5,6}; 3,4,7 unclustered singletons
+        [(0, 0), (1, 0), (2, 0), (5, 5), (6, 5)], "id long, component long"
+    )
+    surv = keep_one_per_cluster(docs, comp).collect()
+    got = {r["doc_id"]: r["cluster_size"] for r in surv}
+    assert got == {0: 3, 3: 1, 4: 1, 5: 2, 7: 1}
+    # survivors keep the docs-side payload columns
+    assert {r["text"] for r in surv} == {"doc 0", "doc 3", "doc 4", "doc 5", "doc 7"}
+
+
+def test_train_filter_gates(spark):
+    """Each C4-style gate binds independently and `kept` is their
+    conjunction."""
+    from walker_spark.functions.text import train_filter
+
+    rows = [
+        (0, "a clean english document with plenty of ordinary words here", "en"),
+        (1, "too short", "en"),                           # drop_len (2 tokens)
+        (2, "!!! ??? ;;; ### $$$ %%% ^^^ &&& *** ((()))", "en"),  # drop_punct
+        (3, "12345 67890 11111 22222 33333 44444 55555", "en"),   # drop_digit
+        (4, "ein sauberes englisches dokument mit vielen worten hier drin", "zz"),  # drop_lang
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r
+        for r in train_filter(df, allowed_langs=("en",)).collect()
+    }
+    assert out[0]["kept"] and not any(
+        out[0][c] for c in ("drop_len", "drop_punct", "drop_digit", "drop_lang")
+    )
+    assert out[1]["drop_len"] and not out[1]["kept"]
+    assert out[2]["drop_punct"] and not out[2]["kept"]
+    assert out[3]["drop_digit"] and not out[3]["kept"]
+    assert out[4]["drop_lang"] and not out[4]["kept"]
+    # no language gate configured -> drop_lang never binds
+    nolang = train_filter(df).collect()
+    assert not any(r["drop_lang"] for r in nolang)
+
+
+def test_corpus_quality_rollup(spark):
+    from walker_spark.functions.text import corpus_quality_rollup
+
+    rows = [
+        (0, "good text with several plain words inside it", "en", "a.com"),
+        (1, "another decent document with readable content here", "en", "a.com"),
+        (2, "!!! ??? ;;; ### $$$ %%%", "en", "b.com"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["source"]: r for r in corpus_quality_rollup(df).collect()}
+    assert out["a.com"]["n_docs"] == 2 and out["b.com"]["n_docs"] == 1
+    assert out["a.com"]["total_tokens"] == 15
+    assert out["a.com"]["avg_quality"] > out["b.com"]["avg_quality"]

@@ -18,6 +18,8 @@ __all__ = [
     "quality_metrics",
     "fingerprint_expr",
     "language_id_udf",
+    "train_filter",
+    "corpus_quality_rollup",
     "STOPWORDS",
 ]
 
@@ -153,3 +155,75 @@ def language_id_udf():
         return pd.Series(out)
 
     return lang_id
+
+
+def train_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.2,
+    max_digit_ratio: float = 0.3,
+    allowed_langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """C4-style training-corpus prefilter: length, punctuation, digit,
+    and (optionally) language gates, each surfaced as its own boolean so
+    a curation report can attribute drops to causes.
+
+    Adds (on top of :func:`quality_metrics` columns, all native exprs —
+    one pass over the corpus, no shuffle, filter fully pushable):
+
+    * ``drop_len``   — token count outside ``[min_tokens, max_tokens]``
+    * ``drop_punct`` — ``punct_ratio > max_punct_ratio``
+    * ``drop_digit`` — ``digit_ratio > max_digit_ratio``
+    * ``drop_lang``  — ``lang_col`` not in ``allowed_langs`` (False when
+      no language gate is configured)
+    * ``kept``       — passes every gate
+
+    The frame is returned unfiltered (every doc, annotated) so callers
+    can either ``.filter("kept")`` for the surviving corpus or aggregate
+    the drop columns for the curation report.
+    """
+    out = quality_metrics(df, text_col, lang_col)
+    drop_len = (F.col("n_tokens") < min_tokens) | (F.col("n_tokens") > max_tokens)
+    drop_punct = F.col("punct_ratio") > max_punct_ratio
+    drop_digit = F.col("digit_ratio") > max_digit_ratio
+    if allowed_langs is not None and lang_col is not None:
+        drop_lang = ~F.col(lang_col).isin(*allowed_langs)
+    else:
+        drop_lang = F.lit(False)
+    return (
+        out.withColumn("drop_len", drop_len)
+        .withColumn("drop_punct", drop_punct)
+        .withColumn("drop_digit", drop_digit)
+        .withColumn("drop_lang", drop_lang)
+        .withColumn(
+            "kept", ~(drop_len | drop_punct | drop_digit | drop_lang)
+        )
+    )
+
+
+def corpus_quality_rollup(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Per-source (per-domain) corpus curation rollup: doc/token volume
+    and average quality per origin — the view a 100 TB webtext pipeline
+    uses to rank domains before sampling. One map-side-combined groupBy
+    over natively computed metrics; output cardinality = #sources.
+    """
+    q = quality_metrics(df, text_col, lang_col)
+    return (
+        q.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+        .orderBy(group_col)
+    )

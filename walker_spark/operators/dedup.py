@@ -767,3 +767,53 @@ def _cc_two_phase(
         f"connected_components(star) did not converge in {max_iters} rounds — "
         "corrupt pair graph?"
     )
+
+
+def keep_one_per_cluster(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Final step of a dedup pipeline: given the corpus and a
+    ``(id, component)`` cluster assignment (from
+    :func:`connected_components`), keep exactly ONE document per
+    near-dup cluster — the canonical MIN id, which is what ``component``
+    already encodes — plus every unclustered singleton. Survivors carry
+    ``cluster_size`` (1 for singletons): how many near-dups each kept
+    doc represents.
+
+    Scale shape (100 TB corpus, clustered docs ≪ corpus):
+
+    * losers (non-canonical cluster members) are derived from
+      ``components`` alone — the full corpus is never re-shuffled to
+      decide who survives;
+    * the corpus is pruned with ONE ``left_anti`` join on the id
+      (AQE turns it into a broadcast anti-join whenever the loser set
+      is small, the common case after near-dup pairing);
+    * ``cluster_size`` comes from a groupBy over ``components`` (ids
+      only) broadcast back onto the surviving canonicals.
+
+    Returns ``docs``' surviving rows + ``cluster_size`` (long).
+    Reference semantics: walker keeps the FIRST-seen URL of a dup set
+    (scrapeloop.go:362-364 membership test); min-id is the
+    deterministic batch analogue of first-seen.
+    """
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    losers = components.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    canon = (
+        components.filter(F.col("id") == F.col("component"))
+        .join(sizes, "component")
+        .select(F.col("id").alias(id_col), "cluster_size")
+    )
+    return (
+        docs.join(losers, on=id_col, how="left_anti")
+        .join(F.broadcast(canon), on=id_col, how="left")
+        .withColumn(
+            "cluster_size",
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long"),
+        )
+    )
