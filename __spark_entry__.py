@@ -882,6 +882,33 @@ def q_source_quality_rollup(spark, sf):
     return corpus_quality_rollup(_t(spark, sf, "documents"))
 
 
+def q_corpus_sample_stratified(spark, sf):
+    """Deterministic hash-ranked stratified downsample (functions/
+    text.py::stratified_sample): top-5 docs per source by md5(seed:id) —
+    reproducible across runs and cluster sizes, unlike RNG sampling.
+    The oracle replays the identical md5 ranking in SQL."""
+    from walker_spark.functions.text import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    return (
+        stratified_sample(d, strata_cols=("source",), k=5, seed=42)
+        .select(
+            "doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank")
+        )
+        .orderBy("source", "sample_rank")
+    )
+
+
+def q_text_top_ngrams(spark, sf):
+    """Corpus-wide top-20 word trigrams with occurrence counts
+    (functions/text.py::top_ngrams) — the heavy-hitter / vocab pass.
+    Every sliding window counts (frequency, not the dedup shingles'
+    per-doc distinct); the oracle re-tokenizes and re-windows in SQL."""
+    from walker_spark.functions.text import top_ngrams
+
+    return top_ngrams(_t(spark, sf, "documents"), n=3, k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_status_histogram": q_crawl_status_histogram,
@@ -919,6 +946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_train_filter": q_text_train_filter,
         "source_quality_rollup": q_source_quality_rollup,
+        "corpus_sample_stratified": q_corpus_sample_stratified,
+        "text_top_ngrams": q_text_top_ngrams,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -1640,6 +1669,40 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(punct_ratio), 4) AS avg_punct_ratio,
                    round(avg(quality_score), 4) AS avg_quality
             FROM q GROUP BY source ORDER BY source
+        """,
+        "corpus_sample_stratified": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS sample_rank
+              FROM documents
+            )
+            SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM r WHERE sample_rank <= 5
+            ORDER BY source, sample_rank
+        """,
+        "text_top_ngrams": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\W+')) AS tok,
+                     generate_subscripts(
+                       string_split_regex(lower(text), '\W+'), 1) AS pos
+              FROM documents
+            ), tk AS (
+              SELECT doc_id, tok,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+              FROM raw WHERE tok <> ''
+            ), g AS (
+              SELECT a.tok || ' ' || b.tok || ' ' || c.tok AS ngram
+              FROM tk a
+              JOIN tk b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+              JOIN tk c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+            )
+            SELECT ngram, count(*) AS n_occurrences
+            FROM g GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
         """,
         "text_bpe_tokens": r"""
             WITH t AS (

@@ -565,3 +565,40 @@ def test_corpus_quality_rollup(spark):
     assert out["a.com"]["n_docs"] == 2 and out["b.com"]["n_docs"] == 1
     assert out["a.com"]["total_tokens"] == 15
     assert out["a.com"]["avg_quality"] > out["b.com"]["avg_quality"]
+
+
+def test_stratified_sample(spark):
+    """Hash-ranked sampling: exact per-stratum quota, deterministic
+    across runs, and stable under repartitioning (the property RNG
+    sampling lacks)."""
+    from walker_spark.functions.text import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", f"src{i % 3}") for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    a = stratified_sample(docs, strata_cols=("source",), k=4).collect()
+    assert len(a) == 12
+    per = {}
+    for r in a:
+        per.setdefault(r["source"], []).append((r["sample_rank"], r["doc_id"]))
+    assert all(sorted(v)[0][0] == 1 and len(v) == 4 for v in per.values())
+    b = stratified_sample(docs.repartition(7), strata_cols=("source",), k=4).collect()
+    assert {(r["source"], r["doc_id"], r["sample_rank"]) for r in a} == {
+        (r["source"], r["doc_id"], r["sample_rank"]) for r in b
+    }
+
+
+def test_top_ngrams(spark):
+    from walker_spark.functions.text import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b c"),      # "a b c" x2, "b c a" x1, "c a b" x1
+            (1, "a b c d"),          # "a b c" x1, "b c d" x1
+            (2, "too short"),        # < 3 tokens: contributes nothing
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r["ngram"], r["n_occurrences"]) for r in top_ngrams(docs, n=3, k=3).collect()]
+    assert got == [("a b c", 3), ("b c a", 1), ("b c d", 1)]

@@ -20,6 +20,8 @@ __all__ = [
     "language_id_udf",
     "train_filter",
     "corpus_quality_rollup",
+    "stratified_sample",
+    "top_ngrams",
     "STOPWORDS",
 ]
 
@@ -226,4 +228,74 @@ def corpus_quality_rollup(
             F.round(F.avg("quality_score"), 4).alias("avg_quality"),
         )
         .orderBy(group_col)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: tuple[str, ...] = ("source",),
+    k: int = 10,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic stratified downsample: keep the top-``k`` docs per
+    stratum ranked by ``md5(seed:id)`` — the reproducible hash-ranked
+    sampling a 100 TB corpus pipeline uses to draw per-domain quotas
+    (same rows on every run and every cluster size, unlike
+    ``df.sample``'s partition-dependent RNG).
+
+    Scale shape: one hash-partition shuffle on the strata; because the
+    rank filter is ``row_number() <= k``, Catalyst's
+    ``InsertWindowGroupLimit`` rewrites it into a map-side partial
+    top-k for k up to ``spark.sql.window.groupLimitThreshold`` (1000),
+    so a hot stratum never materializes its full row set (same
+    mechanism the politeness batch op routes on, operators/
+    politeness.py). Output carries ``sample_rank`` (1-based within the
+    stratum).
+    """
+    from pyspark.sql import Window
+
+    rank_key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        rank_key, F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams with occurrence counts —
+    the heavy-hitter / vocabulary-building pass of a text pipeline.
+    Every sliding window counts (NOT per-doc distinct — this measures
+    frequency, unlike the dedup shingles). Docs shorter than ``n``
+    tokens contribute nothing.
+
+    Scale shape: tokenize + window natively (no Python), explode, one
+    map-side-combined groupBy on the ngram, then a global top-k — the
+    only driver-bound data is the ``k``-row result. Ties break
+    lexicographically so the cut is deterministic.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda s: s != F.lit("")
+    )
+    cnt = F.size(toks)
+    idx = F.when(cnt >= n, F.sequence(F.lit(0), cnt - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
     )
