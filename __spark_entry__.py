@@ -882,6 +882,31 @@ def q_source_quality_rollup(spark, sf):
     return corpus_quality_rollup(_t(spark, sf, "documents"))
 
 
+def q_embedding_dedup_survivors(spark, sf):
+    """Embedding-space dedup end-to-end: multi-probe LSH near-dup pairs
+    (the production embedding_near_dup plan) → connected components →
+    keep-one-per-cluster — the same survivor pipeline as
+    dedup_survivors, composed over a different modality's pair
+    generator. Oracle: exact-cosine pairs → recursive-CTE closure →
+    min-id survivors."""
+    from walker_spark.operators.dedup import (
+        connected_components,
+        keep_one_per_cluster,
+    )
+    from walker_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4, exact=False, probe_bits=3)
+    comp = connected_components(pairs)
+    return (
+        keep_one_per_cluster(emb.select("vec_id"), comp, id_col="vec_id")
+        .select("vec_id", "cluster_size")
+        .orderBy("vec_id")
+    )
+
+
 def q_corpus_sample_stratified(spark, sf):
     """Deterministic hash-ranked stratified downsample (functions/
     text.py::stratified_sample): top-5 docs per source by md5(seed:id) —
@@ -947,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_train_filter": q_text_train_filter,
         "source_quality_rollup": q_source_quality_rollup,
         "corpus_sample_stratified": q_corpus_sample_stratified,
+        "embedding_dedup_survivors": q_embedding_dedup_survivors,
         "text_top_ngrams": q_text_top_ngrams,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
@@ -1669,6 +1695,42 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(punct_ratio), 4) AS avg_punct_ratio,
                    round(avg(quality_score), 4) AS avg_quality
             FROM q GROUP BY source ORDER BY source
+        """,
+        "embedding_dedup_survivors": """
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            ep AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+            ),
+            cedges AS (
+              SELECT id_a AS src, id_b AS dst FROM ep
+              UNION
+              SELECT id_b, id_a FROM ep
+            ),
+            cnodes AS (SELECT DISTINCT src AS id FROM cedges),
+            creach AS (
+              SELECT id, id AS r FROM cnodes
+              UNION
+              SELECT x.dst AS id, creach.r
+              FROM creach JOIN cedges x ON x.src = creach.id
+            ),
+            comp AS (
+              SELECT id, min(r) AS component FROM creach GROUP BY id
+            ),
+            csizes AS (
+              SELECT component, count(*) AS cluster_size
+              FROM comp GROUP BY component
+            )
+            SELECT em.vec_id,
+                   CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size
+            FROM embeddings em
+            LEFT JOIN comp c ON c.id = em.vec_id
+            LEFT JOIN csizes s ON s.component = c.id
+            WHERE c.id IS NULL OR c.id = c.component
+            ORDER BY em.vec_id
         """,
         "corpus_sample_stratified": """
             WITH r AS (
