@@ -934,6 +934,106 @@ def q_text_top_ngrams(spark, sf):
     return top_ngrams(_t(spark, sf, "documents"), n=3, k=20)
 
 
+def q_text_repetition(spark, sf):
+    """Gopher-style intra-doc repetition signals (functions/text.py::
+    repetition_metrics, one O(tokens) Arrow-batched counter pass): dup
+    line fractions + top-2-gram / dup-3-gram character coverage. The
+    documents are single-line word soup, so the fixture derives a
+    line-structured text first (a newline after every token pair —
+    the SAME regexp on both sides); the oracle re-derives every metric
+    relationally in SQL (unnest lines / self-join n-grams)."""
+    from walker_spark.functions.text import repetition_metrics
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.regexp_replace("text", r"(\S+ \S+) ", "$1\n")
+    )
+    return (
+        repetition_metrics(docs, top_ngram_n=2, dup_ngram_n=3)
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "top_ngram_char_frac",
+            "dup_ngram_char_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_text_decontaminate(spark, sf):
+    """Benchmark decontamination (functions/text.py::decontaminate):
+    flag docs sharing any word 5-gram with the 'benchmark' set (every
+    37th doc — an eval-set stand-in). Production path: md5-prefix gram
+    hashes, broadcast bench side, ids-only groupBy; the oracle joins
+    RAW gram strings (hash-free), so the match also certifies the hash
+    family is collision-free on this corpus."""
+    from walker_spark.functions.text import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return (
+        decontaminate(docs, bench, n=5)
+        .select("doc_id", "n_contaminated_grams", "contaminated")
+        .orderBy("doc_id")
+    )
+
+
+def q_text_pii_scrub(spark, sf):
+    """PII detect + redact (functions/text.py::pii_scrub): emails /
+    IPv4s / phone numbers counted and replaced with typed placeholders,
+    sequentially per PII_PATTERNS (ipv4 scrubbed before the phone regex
+    runs). The word-soup corpus has no PII, so the fixture injects
+    deterministic doc_id-derived PII on both sides; scrub_hash =
+    md5(scrubbed text) proves byte-identical redaction. Patterns stay
+    in the Java∩RE2 dialect so DuckDB runs them verbatim."""
+    from walker_spark.functions.text import pii_scrub
+
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com soon"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call +1 555 01"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit(" now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                ((did % 254) + 1).cast("string"),
+                F.lit(" end"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = _t(spark, sf, "documents").withColumn("text", injected)
+    return (
+        pii_scrub(d)
+        .select(
+            "doc_id",
+            "n_email",
+            "n_ipv4",
+            "n_phone",
+            F.md5("text_scrubbed").alias("scrub_hash"),
+            F.length("text_scrubbed").alias("scrub_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_status_histogram": q_crawl_status_histogram,
@@ -974,6 +1074,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "embedding_dedup_survivors": q_embedding_dedup_survivors,
         "text_top_ngrams": q_text_top_ngrams,
+        "text_repetition": q_text_repetition,
+        "text_decontaminate": q_text_decontaminate,
+        "text_pii_scrub": q_text_pii_scrub,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -1765,6 +1868,159 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, count(*) AS n_occurrences
             FROM g GROUP BY ngram
             ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
+        """,
+        # text_repetition: the Spark side counts lines/grams in one
+        # Python hash-map pass; the oracle re-derives every signal
+        # RELATIONALLY — unnest lines, window-number tokens, self-join
+        # n-grams — over the same newline-injected fixture text.
+        "text_repetition": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g') AS tx
+              FROM documents
+            ), ln AS (
+              SELECT doc_id, unnest(string_split(tx, chr(10))) AS line FROM t
+            ), lc AS (
+              SELECT doc_id, line, count(*) AS c
+              FROM ln WHERE line <> '' GROUP BY doc_id, line
+            ), lstats AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS INT) AS n_lines,
+                     round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_line_frac,
+                     round(coalesce(sum(CASE WHEN c >= 2 THEN length(line) * c END), 0)
+                           / CAST(sum(length(line) * c) AS DOUBLE), 4) AS dup_line_char_frac
+              FROM lc GROUP BY doc_id
+            ), raw AS (
+              SELECT doc_id, length(tx) AS total,
+                     unnest(string_split_regex(lower(tx), '\W+')) AS tok,
+                     generate_subscripts(
+                       string_split_regex(lower(tx), '\W+'), 1) AS pos
+              FROM t
+            ), tk AS (
+              SELECT doc_id, total, tok,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+              FROM raw WHERE tok <> ''
+            ), g2c AS (
+              SELECT a.doc_id, max(a.total) AS total,
+                     a.tok || ' ' || b.tok AS g, count(*) AS c
+              FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+              GROUP BY a.doc_id, a.tok || ' ' || b.tok
+            ), top2 AS (
+              SELECT doc_id,
+                     round(max(c * length(g)) / CAST(max(total) AS DOUBLE), 4)
+                       AS top_ngram_char_frac
+              FROM g2c GROUP BY doc_id
+            ), g3c AS (
+              SELECT a.doc_id, max(a.total) AS total,
+                     a.tok || ' ' || b.tok || ' ' || c3.tok AS g, count(*) AS c
+              FROM tk a
+              JOIN tk b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+              JOIN tk c3 ON c3.doc_id = a.doc_id AND c3.p = a.p + 2
+              GROUP BY a.doc_id, a.tok || ' ' || b.tok || ' ' || c3.tok
+            ), dup3 AS (
+              SELECT doc_id,
+                     round(least(
+                       coalesce(sum(CASE WHEN c >= 2 THEN c * length(g) END), 0)
+                         / CAST(max(total) AS DOUBLE), 1.0), 4)
+                       AS dup_ngram_char_frac
+              FROM g3c GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(l.n_lines, 0) AS n_lines,
+                   coalesce(l.dup_line_frac, 0.0) AS dup_line_frac,
+                   coalesce(l.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+                   coalesce(t2.top_ngram_char_frac, 0.0) AS top_ngram_char_frac,
+                   coalesce(d3.dup_ngram_char_frac, 0.0) AS dup_ngram_char_frac
+            FROM documents d
+            LEFT JOIN lstats l ON l.doc_id = d.doc_id
+            LEFT JOIN top2 t2 ON t2.doc_id = d.doc_id
+            LEFT JOIN dup3 d3 ON d3.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        # text_decontaminate: production joins md5-prefix gram hashes;
+        # the oracle joins the raw 5-gram strings, so a green hash also
+        # certifies zero md5-prefix collisions on this corpus.
+        "text_decontaminate": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\W+')) AS tok,
+                     generate_subscripts(
+                       string_split_regex(lower(text), '\W+'), 1) AS pos
+              FROM documents
+            ), tk AS (
+              SELECT doc_id, tok,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+              FROM raw WHERE tok <> ''
+            ), dg AS (
+              SELECT DISTINCT a.doc_id,
+                     a.tok || ' ' || b.tok || ' ' || c.tok || ' ' ||
+                     d.tok || ' ' || e.tok AS g
+              FROM tk a
+              JOIN tk b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+              JOIN tk c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+              JOIN tk d ON d.doc_id = a.doc_id AND d.p = a.p + 3
+              JOIN tk e ON e.doc_id = a.doc_id AND e.p = a.p + 4
+            ), bg AS (
+              SELECT DISTINCT g FROM dg WHERE doc_id % 37 = 0
+            ), hits AS (
+              SELECT dg.doc_id, count(*) AS n
+              FROM dg JOIN bg USING (g) GROUP BY dg.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        # text_pii_scrub: same doc_id-derived PII injection, then the
+        # same Java-cap-RE2 regexes via DuckDB's RE2 — counts taken on
+        # the progressively scrubbed text exactly like PII_PATTERNS.
+        "text_pii_scrub": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN ' contact user' || doc_id || '@example.com soon'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN ' call +1 555 01' ||
+                               lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' now'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                          THEN ' host 10.' || (doc_id % 256) || '.0.' ||
+                               ((doc_id % 254) + 1) || ' end'
+                          ELSE '' END AS t0
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                     regexp_replace(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM inj
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+                     regexp_replace(t1,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '<IP>', 'g') AS t2
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_email, n_ipv4,
+                     len(regexp_extract_all(t2, '\+[0-9][0-9 ()-]{6,}[0-9]')) AS n_phone,
+                     regexp_replace(t2, '\+[0-9][0-9 ()-]{6,}[0-9]',
+                       '<PHONE>', 'g') AS t3
+              FROM s2
+            )
+            SELECT doc_id,
+                   CAST(n_email AS INT) AS n_email,
+                   CAST(n_ipv4 AS INT) AS n_ipv4,
+                   CAST(n_phone AS INT) AS n_phone,
+                   md5(t3) AS scrub_hash,
+                   CAST(length(t3) AS INT) AS scrub_len
+            FROM s3 ORDER BY doc_id
         """,
         "text_bpe_tokens": r"""
             WITH t AS (

@@ -602,3 +602,89 @@ def test_top_ngrams(spark):
     )
     got = [(r["ngram"], r["n_occurrences"]) for r in top_ngrams(docs, n=3, k=3).collect()]
     assert got == [("a b c", 3), ("b c a", 1), ("b c d", 1)]
+
+
+def test_repetition_metrics(spark):
+    from walker_spark.functions.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb\naa bb\ncc dd"),  # dup line, dominant 2-gram
+            (1, "x y z"),                # one line, no repeats
+            (2, ""),                     # empty doc: all-zero metrics
+            (3, "p q p q p q"),          # dup 3-grams ("p q p" x2, "q p q" x2)
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+
+    r0 = rows[0]
+    assert r0["n_lines"] == 3
+    assert r0["dup_line_frac"] == round(1 - 2 / 3, 4)
+    # "aa bb" twice = 10 chars of 15 line chars
+    assert r0["dup_line_char_frac"] == round(10 / 15, 4)
+    # top 2-gram "aa bb" (2 occurrences x 5 chars) over len 17
+    assert r0["top_ngram_char_frac"] == round(10 / 17, 4)
+    assert r0["dup_ngram_char_frac"] == 0.0  # all 3-grams distinct
+
+    r1 = rows[1]
+    assert (r1["n_lines"], r1["dup_line_frac"], r1["dup_line_char_frac"]) == (1, 0.0, 0.0)
+
+    r2 = rows[2]
+    assert (r2["n_lines"], r2["top_ngram_char_frac"], r2["dup_ngram_char_frac"]) == (0, 0.0, 0.0)
+
+    r3 = rows[3]
+    # 3-grams: "p q p" x2 + "q p q" x2 -> 4*5=20 chars over len 11, capped at 1
+    assert r3["dup_ngram_char_frac"] == 1.0
+    # top 2-gram "p q" x3 (5 windows: p q, q p, p q, q p, p q) x 3 chars / 11
+    assert r3["top_ngram_char_frac"] == round(9 / 11, 4)
+
+
+def test_decontaminate(spark):
+    from walker_spark.functions.text import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "unrelated words about spark shuffles and joins"),
+            (2, "quick brown fox jumps high"),  # shares one 3-gram with bench
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox leaps")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=3).collect()}
+    # doc 0 shares "the quick brown" and "quick brown fox"
+    assert out[0]["contaminated"] and out[0]["n_contaminated_grams"] == 2
+    assert not out[1]["contaminated"] and out[1]["n_contaminated_grams"] == 0
+    assert out[2]["contaminated"] and out[2]["n_contaminated_grams"] == 1
+    # corpus columns survive annotation
+    assert "text" in out[0].asDict()
+
+
+def test_pii_scrub(spark):
+    from walker_spark.functions.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@example.co.uk then call +1 (555) 010-7788 via 192.168.0.17 ok"),
+            (1, "no pii here at all"),
+            (2, "two mails a@b.io c@d.org and bare 10.0.0.7"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+
+    r0 = rows[0]
+    assert (r0["n_email"], r0["n_ipv4"], r0["n_phone"]) == (1, 1, 1)
+    assert r0["text_scrubbed"] == "mail <EMAIL> then call <PHONE> via <IP> ok"
+
+    r1 = rows[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (0, 0, 0)
+    assert r1["text_scrubbed"] == r1["text"]
+
+    r2 = rows[2]
+    # ipv4 is scrubbed before the phone pattern can see the dotted quad
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (2, 1, 0)
+    assert r2["text_scrubbed"] == "two mails <EMAIL> <EMAIL> and bare <IP>"

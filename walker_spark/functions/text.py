@@ -22,7 +22,11 @@ __all__ = [
     "corpus_quality_rollup",
     "stratified_sample",
     "top_ngrams",
+    "repetition_metrics",
+    "decontaminate",
+    "pii_scrub",
     "STOPWORDS",
+    "PII_PATTERNS",
 ]
 
 # Tiny per-language stopword profiles (public common-word lists).
@@ -299,3 +303,209 @@ def top_ngrams(
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ngram_n: int = 2,
+    dup_ngram_n: int = 3,
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    §A1.1 "repetition removal" — the public construction, re-derived):
+
+    * ``n_lines``            — non-empty ``\\n``-separated lines
+    * ``dup_line_frac``      — 1 − distinct lines / total lines
+    * ``dup_line_char_frac`` — chars in lines occurring ≥2× (all
+      occurrences) / total line chars
+    * ``top_ngram_char_frac``  — max over word ``top_ngram_n``-grams of
+      occurrences × gram length, / total chars (the n-gram covering the
+      most characters)
+    * ``dup_ngram_char_frac`` — Σ over grams occurring ≥2× of
+      occurrences × gram length, / total chars, capped at 1.0 (windows
+      overlap, so the raw sum can exceed the text length)
+
+    Tokens are the ``\\W+``-split lowercase words (the same tokenizer as
+    :func:`top_ngrams` and the dedup shingles); gram length is the
+    joined ``" "``-separated string's length. All ratios round to 4
+    decimals.
+
+    Scale shape: ONE Arrow-batched pandas UDF, O(tokens) per document
+    via hash-map counting — per-row work with no shuffle, exactly how
+    the public curation pipelines compute these signals. A native-HOF
+    formulation exists but is O(lines² + grams²) per document, which a
+    10k-line crawl page turns into 10^8 comparisons; the linear counter
+    wins everywhere past toy documents.
+    """
+    import re
+
+    schema = (
+        "n_lines int, dup_line_frac double, dup_line_char_frac double, "
+        "top_ngram_char_frac double, dup_ngram_char_frac double"
+    )
+
+    tn, dn = top_ngram_n, dup_ngram_n
+
+    @pandas_udf(schema)
+    def rep(texts: pd.Series) -> pd.DataFrame:
+        import math
+        from collections import Counter
+
+        # half-away-from-zero at 4 decimals (values are all >= 0) — the
+        # rounding SQL engines use; Python's bankers-rounding round()
+        # would diverge from a SQL replica on exact ties like 1/32
+        def r4(x):
+            return math.floor(x * 10000 + 0.5) / 10000
+
+        rows = []
+        for t in texts:
+            t = t or ""
+            lines = [ln for ln in t.split("\n") if ln != ""]
+            lc = Counter(lines)
+            n_lines = len(lines)
+            line_chars = sum(len(ln) for ln in lines)
+            dup_line_frac = (
+                r4(1.0 - len(lc) / n_lines) if n_lines else 0.0
+            )
+            dup_chars = sum(
+                len(ln) * c for ln, c in lc.items() if c >= 2
+            )
+            dup_line_char_frac = (
+                r4(dup_chars / line_chars) if line_chars else 0.0
+            )
+
+            toks = [w for w in re.split(r"\W+", t.lower()) if w]
+            total = len(t)
+            top_frac = 0.0
+            if total and len(toks) >= tn:
+                gc = Counter(
+                    " ".join(toks[i : i + tn])
+                    for i in range(len(toks) - tn + 1)
+                )
+                top_frac = r4(
+                    max(c * len(g) for g, c in gc.items()) / total
+                )
+            dup_frac = 0.0
+            if total and len(toks) >= dn:
+                gc = Counter(
+                    " ".join(toks[i : i + dn])
+                    for i in range(len(toks) - dn + 1)
+                )
+                s = sum(c * len(g) for g, c in gc.items() if c >= 2)
+                dup_frac = r4(min(s / total, 1.0))
+            rows.append(
+                (n_lines, dup_line_frac, dup_line_char_frac, top_frac, dup_frac)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_lines",
+                "dup_line_frac",
+                "dup_line_char_frac",
+                "top_ngram_char_frac",
+                "dup_ngram_char_frac",
+            ],
+        )
+
+    m = rep(F.col(text_col))
+    return (
+        df.withColumn("_rep", m)
+        .select("*", "_rep.*")
+        .drop("_rep")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a held-out benchmark/eval set (the standard
+    n-gram-overlap decontamination used by the public LLM corpora; 13
+    is the usual ``n`` for real corpora — pick per tokenizer).
+
+    Adds ``n_contaminated_grams`` (distinct shared grams) and
+    ``contaminated``. Grams are distinct per doc, md5-prefix hashed
+    (the DuckDB-shared family), built natively.
+
+    Scale shape: the benchmark side is tiny by construction (an eval
+    set), so its distinct gram hashes are ``broadcast()`` — the 100 TB
+    corpus side explodes to (id, gram) pairs, inner-joins the broadcast
+    WITHOUT an exchange, and the only shuffle anywhere is the ids-only
+    groupBy on the matched pairs (cardinality ≤ contaminated docs ×
+    grams). The final annotation join's right side is the per-doc hit
+    count table — small again, AQE broadcasts it, so the corpus itself
+    never shuffles.
+    """
+    from pyspark.sql.functions import broadcast
+
+    def gram_hashes(text: Column) -> Column:
+        toks = F.filter(F.split(F.lower(text), r"\W+"), lambda s: s != F.lit(""))
+        cnt = F.size(toks)
+        idx = F.when(cnt >= n, F.sequence(F.lit(0), cnt - n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))), 1, 16
+                ),
+            )
+        )
+
+    bench_grams = (
+        benchmark.select(F.explode(gram_hashes(F.col(text_col))).alias("gram"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col), F.explode(gram_hashes(F.col(text_col))).alias("gram")
+    )
+    hits = (
+        doc_grams.join(broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn(
+            "n_contaminated_grams",
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).cast("long"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+    )
+
+
+# (name, pattern, replacement) — applied IN ORDER, each count taken on
+# the text as scrubbed by the previous patterns (ipv4 before phone so a
+# dotted quad is never half-eaten by the looser phone pattern). The
+# regexes stay in the Java∩RE2 common dialect (classes, bounded
+# repetition, ASCII \b) so a SQL engine can replicate them verbatim.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction over a text corpus: emails, IPv4
+    addresses, and international-format phone numbers, each counted
+    (``n_email`` / ``n_ipv4`` / ``n_phone``) and replaced with a typed
+    placeholder in ``<text_col>_scrubbed``.
+
+    Everything is native ``regexp_count`` / ``regexp_replace`` — JVM
+    regex inside whole-stage codegen, one projection pass, no shuffle,
+    fully pipeline-able with the other curation gates. Counts and
+    replacements are sequential per :data:`PII_PATTERNS` (documented
+    there), so the operation is deterministic and SQL-replicable.
+    """
+    cur = F.col(text_col)
+    out = df
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out.withColumn(f"{text_col}_scrubbed", cur)
