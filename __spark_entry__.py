@@ -1034,6 +1034,64 @@ def q_text_pii_scrub(spark, sf):
     )
 
 
+def q_text_span_dedup(spark, sf):
+    """Cross-document duplicated-span statistics (functions/text.py::
+    cross_doc_span_stats) — the gram-granular rendering of substring
+    train-data dedup (Lee et al. 2021): per doc, the fraction of 8-gram
+    positions (and of tokens, by exact interval union) covered by grams
+    occurring in ≥2 distinct documents. Spark joins on md5-prefix gram
+    hashes; the oracle joins the RAW gram text, so a hash match also
+    certifies the hash family collision-free on this corpus (the same
+    proof shape as text_decontaminate)."""
+    from walker_spark.functions.text import cross_doc_span_stats
+
+    return (
+        cross_doc_span_stats(_t(spark, sf, "documents"), n=8, min_docs=2)
+        .orderBy("doc_id")
+    )
+
+
+def q_text_pack_sequences(spark, sf):
+    """GPT-style sequence packing (functions/text.py::pack_sequences,
+    mode='concat'): md5-sharded corpus, per-shard exclusive running
+    token sum, docs mapped to fixed-512-token training bins (a doc may
+    span bins). Pure window arithmetic — the oracle replays the shard
+    hash, the cumsum, and the bin floor-division in SQL."""
+    from walker_spark.functions.text import pack_sequences
+
+    return (
+        pack_sequences(
+            _t(spark, sf, "documents"), ctx=512, n_shards=8, mode="concat"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_text_mixture_resample(spark, sf):
+    """Temperature-mixed (α=0.5) domain resampling (functions/text.py::
+    mixture_weights + mixture_resample): per-source sqrt-scaled token
+    weights → exact rational per-domain rates (one IEEE sqrt, then pure
+    integer/decimal arithmetic — no float-sum ordering anywhere) →
+    deterministic per-doc copy counts via the md5-threshold Bernoulli.
+    The oracle recomputes the whole chain in SQL with HUGEINT exactness;
+    a value-hash match proves the sampling decision replicates
+    bit-for-bit on another engine."""
+    from walker_spark.functions.text import (
+        mixture_weights,
+        mixture_resample,
+        token_count_expr,
+    )
+
+    d = _t(spark, sf, "documents")
+    w = mixture_weights(d, group_col="source", target_tokens=None)
+    r = mixture_resample(
+        d.withColumn("doc_tokens", token_count_expr(F.col("text")).cast("long")),
+        w,
+        group_col="source",
+    )
+    return r.select("doc_id", "source", "doc_tokens", "n_copies").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_status_histogram": q_crawl_status_histogram,
@@ -1077,6 +1135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_decontaminate": q_text_decontaminate,
         "text_pii_scrub": q_text_pii_scrub,
+        "text_span_dedup": q_text_span_dedup,
+        "text_pack_sequences": q_text_pack_sequences,
+        "text_mixture_resample": q_text_mixture_resample,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -2021,6 +2082,136 @@ def oracle_sql() -> dict[str, str]:
                    md5(t3) AS scrub_hash,
                    CAST(length(t3) AS INT) AS scrub_len
             FROM s3 ORDER BY doc_id
+        """,
+        # text_span_dedup: production joins md5-prefix16 gram hashes;
+        # the oracle joins the raw 8-gram strings (same proof shape as
+        # text_decontaminate: green == hash family collision-free here).
+        # Interval union replayed as the same running-max window.
+        "text_span_dedup": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\W+')) AS tok,
+                     generate_subscripts(
+                       string_split_regex(lower(text), '\W+'), 1) AS pos
+              FROM documents
+            ), tk AS (
+              SELECT doc_id, tok,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+              FROM raw WHERE tok <> ''
+            ), tl AS (
+              SELECT doc_id, list(tok ORDER BY p) AS toks FROM tk GROUP BY doc_id
+            ), g AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS pos0,
+                     array_to_string(
+                       toks[CAST(u.i + 1 AS INT):CAST(u.i + 8 AS INT)], ' ') AS gram
+              FROM tl, LATERAL unnest(range(greatest(len(toks) - 7, 0))) AS u(i)
+            ), dupg AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), dp AS (
+              SELECT g.doc_id, g.pos0 FROM g JOIN dupg USING (gram)
+            ), cov AS (
+              SELECT doc_id, pos0,
+                     greatest(0, pos0 + 8 - greatest(coalesce(
+                       max(pos0 + 8) OVER (
+                         PARTITION BY doc_id ORDER BY pos0
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0), pos0)) AS new_cov
+              FROM dp
+            ), per AS (
+              SELECT doc_id, count(*) AS n_dup, sum(new_cov) AS cov_tokens
+              FROM cov GROUP BY doc_id
+            ), base AS (
+              SELECT d.doc_id, coalesce(c.n, 0) AS n_tokens
+              FROM documents d
+              LEFT JOIN (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id) c
+                USING (doc_id)
+            )
+            SELECT b.doc_id,
+                   CAST(b.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(greatest(0, b.n_tokens - 7) AS BIGINT) AS n_grams,
+                   CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_grams,
+                   CASE WHEN b.n_tokens - 7 > 0
+                        THEN coalesce(p.n_dup, 0) / CAST(b.n_tokens - 7 AS DOUBLE)
+                        ELSE 0.0 END AS dup_gram_frac,
+                   CASE WHEN b.n_tokens > 0
+                        THEN least(coalesce(p.cov_tokens, 0), b.n_tokens)
+                             / CAST(b.n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS dup_token_frac
+            FROM base b LEFT JOIN per p USING (doc_id)
+            ORDER BY b.doc_id
+        """,
+        # text_pack_sequences: replay the md5 shard hash, the exclusive
+        # per-shard running token sum, and the integer bin division.
+        "text_pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CAST('0x' || substr(
+                       md5('shard42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) % 8 AS BIGINT) AS shard,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ), o AS (
+              SELECT doc_id, shard, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_offset
+              FROM t
+            )
+            SELECT doc_id, shard, n_tokens, start_offset,
+                   CAST(CASE WHEN n_tokens > 0
+                        THEN start_offset // 512 END AS BIGINT) AS first_bin,
+                   CAST(CASE WHEN n_tokens > 0
+                        THEN (start_offset + n_tokens - 1) // 512 END
+                        AS BIGINT) AS last_bin,
+                   CAST(CASE WHEN n_tokens > 0
+                        THEN (start_offset + n_tokens - 1) // 512
+                             - start_offset // 512 + 1
+                        ELSE 0 END AS BIGINT) AS n_bins_spanned
+            FROM o ORDER BY doc_id
+        """,
+        # text_mixture_resample: one IEEE sqrt then exact integer /
+        # HUGEINT arithmetic end-to-end — the value-hash match IS the
+        # proof that the per-doc sampling decision replicates across
+        # engines (no float-sum ordering, no libm pow anywhere).
+        "text_mixture_resample": r"""
+            WITH tokc AS (
+              SELECT doc_id, source,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS BIGINT) AS doc_tokens
+              FROM documents
+            ), st AS (
+              SELECT source, CAST(sum(doc_tokens) AS BIGINT) AS n_tokens
+              FROM tokc GROUP BY source
+            ), wi AS (
+              SELECT source, n_tokens,
+                     CAST(floor(sqrt(CAST(n_tokens * 1048576 AS DOUBLE)))
+                          AS BIGINT) AS weight_num
+              FROM st
+            ), tot AS (
+              SELECT CAST(sum(weight_num) AS BIGINT) AS wsum,
+                     CAST(sum(n_tokens) AS BIGINT) AS tsum
+              FROM wi
+            ), per AS (
+              SELECT source,
+                     (tsum * weight_num) // (wsum * n_tokens) AS epochs,
+                     (tsum * weight_num) % (wsum * n_tokens) AS rem_num,
+                     wsum * n_tokens AS rem_den
+              FROM wi, tot
+            )
+            SELECT t.doc_id, t.source, t.doc_tokens,
+                   CAST(p.epochs
+                        + CASE WHEN CAST(CAST('0x' || substr(
+                              md5('mix:42:' || CAST(t.doc_id AS VARCHAR)), 1, 8)
+                              AS UBIGINT) AS HUGEINT) * p.rem_den
+                            < CAST(p.rem_num AS HUGEINT) * 4294967296
+                          THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_copies
+            FROM tokc t JOIN per p USING (source)
+            ORDER BY t.doc_id
         """,
         "text_bpe_tokens": r"""
             WITH t AS (

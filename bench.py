@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "text_token_counts",
+    "text_span_dedup",
+    "text_pack_sequences",
     "text_repetition",
     "text_decontaminate",
     "ann_cosine_topk",

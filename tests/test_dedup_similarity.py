@@ -688,3 +688,127 @@ def test_pii_scrub(spark):
     # ipv4 is scrubbed before the phone pattern can see the dotted quad
     assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (2, 1, 0)
     assert r2["text_scrubbed"] == "two mails <EMAIL> <EMAIL> and bare <IP>"
+
+
+def test_cross_doc_span_stats(spark):
+    """Hand-computable fixture: shared 2-grams across docs, interval
+    UNION (overlapping windows count once; disjoint runs both count)."""
+    from walker_spark.functions.text import cross_doc_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),    # shares "a b","b c" -> union [0,3) = 3 of 5
+            (1, "a b c x y"),    # same head -> 3 of 5
+            (2, "p q r s t"),    # all grams unique
+            (3, "a b z a b"),    # "a b" at pos 0 AND 3 -> [0,2)+[3,5) = 4 of 5
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cross_doc_span_stats(docs, n=2).collect()}
+    assert out[0]["n_grams"] == 4 and out[0]["n_dup_grams"] == 2
+    assert abs(out[0]["dup_token_frac"] - 3 / 5) < 1e-12
+    assert abs(out[1]["dup_token_frac"] - 3 / 5) < 1e-12
+    assert out[2]["n_dup_grams"] == 0 and out[2]["dup_token_frac"] == 0.0
+    assert out[3]["n_dup_grams"] == 2
+    assert abs(out[3]["dup_token_frac"] - 4 / 5) < 1e-12
+    # min_docs=3: only "a b" (docs 0,1,3) stays duplicated; "b c" (0,1) drops
+    out3 = {r["doc_id"]: r for r in cross_doc_span_stats(docs, n=2, min_docs=3).collect()}
+    assert out3[0]["n_dup_grams"] == 1
+    assert abs(out3[0]["dup_token_frac"] - 2 / 5) < 1e-12
+
+
+def test_pack_sequences_concat(spark):
+    """Concat-mode packing: contiguous shard streams, correct bin spans,
+    invariant under input repartitioning."""
+    from walker_spark.functions.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 40))) for i in range(200)] + [(200, "")],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, ctx=64, n_shards=4, mode="concat").collect()
+    assert len(out) == 201
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        off = 0
+        for r in rows:
+            assert r["start_offset"] == off
+            if r["n_tokens"] > 0:
+                assert r["first_bin"] == off // 64
+                assert r["last_bin"] == (off + r["n_tokens"] - 1) // 64
+                assert r["n_bins_spanned"] == r["last_bin"] - r["first_bin"] + 1
+            else:
+                assert r["n_bins_spanned"] == 0 and r["first_bin"] is None
+            off += r["n_tokens"]
+    again = pack_sequences(docs.repartition(7), ctx=64, n_shards=4, mode="concat").collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(out) == key(again)
+
+
+def test_pack_sequences_greedy(spark):
+    """Greedy mode: a doc never splits; bin capacity holds except for
+    flagged overflow docs, which sit alone in their bin."""
+    from walker_spark.functions.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * t)) for i, t in enumerate([30, 40, 50, 70, 10, 90, 5, 64, 1])],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, ctx=64, n_shards=1, mode="greedy").collect()
+    bins = {}
+    for r in out:
+        assert r["first_bin"] == r["last_bin"]
+        assert r["overflow"] == (r["n_tokens"] > 64)
+        bins.setdefault(r["first_bin"], []).append(r)
+    for b, rows in bins.items():
+        total = sum(r["n_tokens"] for r in rows)
+        if any(r["overflow"] for r in rows):
+            assert len(rows) == 1  # overflow doc owns its bin
+        else:
+            assert total <= 64
+        # offsets within the bin are contiguous in id order
+        off = 0
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            assert r["start_offset"] == off
+            off += r["n_tokens"]
+    assert sorted(bins) == list(range(len(bins)))  # bins are contiguous
+
+
+def test_mixture_weights_resample(spark):
+    """Temperature mixing: exact rational rates (epochs + rem/den ==
+    T*w_i / (Σw*tok_i)), per-doc copies in {epochs, epochs+1},
+    deterministic under repartitioning, and the realized token count
+    tracks the target."""
+    from walker_spark.functions.text import mixture_weights, mixture_resample
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + (i * 7) % 60)), f"s{i % 4}") for i in range(400)],
+        "doc_id long, text string, source string",
+    )
+    w = mixture_weights(docs, target_tokens=None)
+    rows = w.collect()
+    wsum = sum(r["weight_num"] for r in rows)
+    tsum = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert r["weight_den"] == wsum
+        num, den = tsum * r["weight_num"], wsum * r["n_tokens"]
+        assert r["epochs"] == num // den and r["rem_num"] == num % den
+        assert r["rem_den"] == den
+    r1 = mixture_resample(docs, w).collect()
+    per_epoch = {r["source"]: r["epochs"] for r in rows}
+    for r in r1:
+        assert r["n_copies"] in (per_epoch[r["source"]], per_epoch[r["source"]] + 1)
+    r2 = mixture_resample(docs.repartition(5), w).collect()
+    assert {(r["doc_id"], r["n_copies"]) for r in r1} == {
+        (r["doc_id"], r["n_copies"]) for r in r2
+    }
+    # doubling the budget: realized tokens within 10% of 2*total
+    w2 = mixture_weights(docs, target_tokens=2 * tsum)
+    got = mixture_resample(docs, w2, explode=True)
+    from walker_spark.functions.text import token_count_expr
+    import pyspark.sql.functions as F
+
+    realized = got.agg(F.sum(token_count_expr(F.col("text")))).collect()[0][0]
+    assert abs(realized - 2 * tsum) / (2 * tsum) < 0.10

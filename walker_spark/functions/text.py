@@ -25,6 +25,10 @@ __all__ = [
     "repetition_metrics",
     "decontaminate",
     "pii_scrub",
+    "cross_doc_span_stats",
+    "pack_sequences",
+    "mixture_weights",
+    "mixture_resample",
     "STOPWORDS",
     "PII_PATTERNS",
 ]
@@ -509,3 +513,349 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
         cur = F.regexp_replace(cur, pat, repl)
     return out.withColumn(f"{text_col}_scrubbed", cur)
+
+
+def cross_doc_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span statistics — the gram-granular
+    Spark rendering of substring-level train-data dedup (Lee et al.
+    2021 "Deduplicating Training Data Makes Language Models Better"
+    finds exact substrings with a suffix array; a distributed engine
+    approximates the same signal with rolling word ``n``-grams).
+
+    A gram position is *duplicated* when the same ``n``-gram (by md5
+    prefix) occurs in ≥ ``min_docs`` DISTINCT documents. Per document:
+
+    * ``n_tokens`` / ``n_grams``  — corpus accounting
+    * ``n_dup_grams``             — gram positions whose gram is shared
+    * ``dup_gram_frac``           — n_dup_grams / n_grams
+    * ``dup_token_frac``          — tokens covered by ≥1 duplicated
+      window / n_tokens (interval UNION, not a sum — overlapping
+      windows count once)
+
+    Scale shape: the explode to (id, pos, gram) is O(tokens) — the
+    inherent cost of gram-granular span detection. Shuffle 1: map-side
+    partially-aggregated two-phase distinct-doc count per gram (ids
+    only). Shuffle 2: semi-shaped join of doc grams against the
+    shared-gram set on the gram hash (ids + 16-byte hash only; the
+    html/text never moves). Shuffle 3: per-doc interval union as ONE
+    partition window (running max of span ends ordered by start — the
+    classic sorted-interval merge, no self-join). The final annotation
+    join back onto the corpus is per-doc-stats-sized; AQE broadcasts it
+    when dup docs are rare. Interval union stays exact under windows
+    clipped at document end.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda s: s != F.lit(""))
+    cnt = F.size(toks)
+    idx = F.when(cnt >= n, F.sequence(F.lit(0), cnt - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))), 1, 16),
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(toks).alias("__n_tokens"),
+        F.posexplode(grams).alias("__pos", "__gram"),
+    )
+    shared = (
+        doc_grams.groupBy("__gram")
+        .agg(F.count_distinct("__id").alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__gram")
+    )
+    dup_pos = doc_grams.join(shared, "__gram")
+    w = (
+        Window.partitionBy("__id")
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = dup_pos.withColumn(
+        "__prev_end", F.coalesce(F.max(F.col("__pos") + n).over(w), F.lit(0))
+    ).withColumn(
+        "__new_cov",
+        F.greatest(
+            F.lit(0),
+            F.col("__pos") + n - F.greatest(F.col("__prev_end"), F.col("__pos")),
+        ),
+    )
+    per_doc = covered.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.sum("__new_cov").alias("__cov_tokens"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.greatest(F.lit(0), F.size(toks) - n + 1).cast("long").alias("n_grams"),
+    )
+    return (
+        base.join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_grams",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.when(F.col("n_grams") > 0,
+                   F.coalesce(F.col("n_dup_grams"), F.lit(0)) / F.col("n_grams"))
+            .otherwise(F.lit(0.0)).alias("dup_gram_frac"),
+            F.when(F.col("n_tokens") > 0,
+                   F.least(F.coalesce(F.col("__cov_tokens"), F.lit(0)), F.col("n_tokens"))
+                   / F.col("n_tokens"))
+            .otherwise(F.lit(0.0)).alias("dup_token_frac"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx: int = 1024,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "concat",
+    seed: int = 42,
+) -> DataFrame:
+    """Sequence packing: lay a corpus out into fixed-``ctx``-token
+    training bins, the final step of an LLM data pipeline.
+
+    Documents are first assigned to ``n_shards`` independent shards by a
+    stable md5 hash of the id (a shard ≈ one output file / one worker's
+    packing problem — packing is sequential WITHIN a shard but shards
+    are embarrassingly parallel, which is how a 100 TB corpus packs on
+    1000 executors), then ordered by id within the shard.
+
+    * ``mode='concat'`` (default): GPT-style concatenate-then-chunk —
+      the token stream of the shard is conceptually concatenated and
+      cut every ``ctx`` tokens; a document may span bins. Pure window
+      arithmetic (exclusive running sum of token counts), no Python:
+      per doc we emit its global ``start_offset`` in the shard stream
+      and the ``first_bin``/``last_bin`` it lands in.
+    * ``mode='greedy'``: bin-per-document packing — a doc never splits;
+      a new bin opens when the doc doesn't fit in the remaining space.
+      Inherently a sequential scan per shard (bin state carries), so it
+      runs as one applyInPandas pass per shard; docs longer than
+      ``ctx`` get a bin of their own with ``overflow=true``.
+
+    Output (both modes): ``id_col, shard, n_tokens, start_offset,
+    first_bin, last_bin, n_bins_spanned`` (+ ``overflow`` in greedy
+    mode, where first_bin == last_bin always and start_offset is the
+    offset within the bin).
+
+    Scale shape: one hash exchange on the shard key; inside each shard
+    a single window cumsum (concat) or a single Arrow batch scan
+    (greedy). Zero-token docs span 0 bins. Deterministic for any input
+    partitioning — verified by the repartition-invariance test.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = token_count_expr(F.col(text_col))
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(f"shard{seed}"), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % n_shards
+    )
+    base = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    if mode == "concat":
+        w = (
+            Window.partitionBy("shard")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        out = base.withColumn(
+            "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        # integer `div`, not floor(a/b): exact for any ctx (a double
+        # quotient can round up across a bin boundary at large offsets)
+        first_bin = F.expr(f"start_offset div {int(ctx)}")
+        last_bin = F.expr(f"(start_offset + n_tokens - 1) div {int(ctx)}")
+        return out.select(
+            id_col,
+            "shard",
+            "n_tokens",
+            "start_offset",
+            F.when(F.col("n_tokens") > 0, first_bin).alias("first_bin"),
+            F.when(F.col("n_tokens") > 0, last_bin).alias("last_bin"),
+            F.when(F.col("n_tokens") > 0, last_bin - first_bin + 1)
+            .otherwise(F.lit(0)).cast("long").alias("n_bins_spanned"),
+        )
+    if mode != "greedy":
+        raise ValueError(f"unknown packing mode {mode!r}")
+
+    out_schema = (
+        f"{id_col} long, shard long, n_tokens long, start_offset long, "
+        "first_bin long, last_bin long, n_bins_spanned long, overflow boolean"
+    )
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        bins, offs, overfl = [], [], []
+        cur_bin, cur_fill = -1, 0  # zero remaining space forces a bin on the first doc
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if t == 0:
+                bins.append(-1)
+                offs.append(0)
+                overfl.append(False)
+                continue
+            if t > cur_fill:
+                cur_bin += 1
+                cur_fill = ctx
+            offs.append(ctx - cur_fill)
+            bins.append(cur_bin)
+            overfl.append(t > ctx)
+            cur_fill -= t
+            if cur_fill < 0:  # overflow doc consumed its own bin entirely
+                cur_fill = 0
+        pdf["start_offset"] = offs
+        pdf["first_bin"] = bins
+        pdf["last_bin"] = bins
+        pdf["n_bins_spanned"] = [0 if b < 0 else 1 for b in bins]
+        pdf["overflow"] = overfl
+        for c in ("first_bin", "last_bin"):
+            pdf[c] = [None if b < 0 else b for b in pdf[c]]
+        return pdf[
+            [id_col, "shard", "n_tokens", "start_offset",
+             "first_bin", "last_bin", "n_bins_spanned", "overflow"]
+        ]
+
+    return base.groupBy("shard").applyInPandas(pack_shard, out_schema)
+
+
+# Fixed-point scale for the integer-sqrt weights in mixture_weights:
+# isq = floor(sqrt(tokens * 2^20)). tokens*2^20 stays exactly
+# representable in a double up to 2^53 (≈ 8e9 tokens per domain at this
+# scale factor — raise the doc for bigger domains), and IEEE-754 sqrt is
+# correctly rounded in every engine (Java Math.sqrt == C sqrt == DuckDB),
+# so the WHOLE weight computation is reproducible bit-for-bit across
+# engines: everything downstream of the sqrt is bigint / decimal
+# arithmetic, no ordering-dependent float sums anywhere.
+_MIX_SQRT_SCALE = 1 << 20
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    target_tokens: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain temperature-mixing table (α = 0.5, the common
+    "square-root scaling" for multi-source corpora — public recipe from
+    the multilingual/corpus-mixing literature): domain *i* with
+    ``tok_i`` tokens gets sampling weight ``w_i ∝ sqrt(tok_i)``, and a
+    token budget ``target_tokens`` is split as ``q_i = w_i / Σw``.
+
+    Emitted per domain: ``n_docs, n_tokens, weight_num`` (the integer
+    sqrt weight), ``epochs`` (full passes over the domain =
+    ``T·w_i DIV Σw·tok_i``) and ``rem_num/rem_den`` — the exact
+    fractional remainder as a rational, consumed by
+    :func:`mixture_resample` for deterministic per-doc residual
+    sampling. All integer arithmetic after one correctly-rounded sqrt
+    (see ``_MIX_SQRT_SCALE``), so any SQL engine reproduces the table
+    exactly — no float sum ordering, no pow() libm divergence (α is
+    pinned to 0.5 precisely because sqrt is the one IEEE-exact power).
+
+    Scale shape: one map-side-combined groupBy on the domain; the
+    result is domains-sized (tiny). ``target_tokens`` defaults to the
+    corpus total (pure re-balancing).
+    """
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_expr(F.col(text_col)).cast("long")).alias("n_tokens"),
+    )
+    isq = F.floor(F.sqrt((F.col("n_tokens") * _MIX_SQRT_SCALE).cast("double"))).cast("long")
+    stats = stats.withColumn("weight_num", isq)
+    totals = stats.agg(
+        F.sum("weight_num").alias("__wsum"), F.sum("n_tokens").alias("__tsum")
+    )
+    stats = stats.crossJoin(F.broadcast(totals))
+    target = F.lit(target_tokens) if target_tokens is not None else F.col("__tsum")
+    # `div` (not floor(a/b)): exact 64-bit integer division — a double
+    # quotient of ~1e13-scale numerators can round up across an integer
+    # and disagree with the modulo below (and with a SQL engine's `//`).
+    stats = stats.withColumn(
+        "__num", (target.cast("long") * F.col("weight_num")).cast("long")
+    ).withColumn("__den", (F.col("__wsum") * F.col("n_tokens")).cast("long"))
+    return stats.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "weight_num",
+        F.col("__wsum").alias("weight_den"),
+        (F.col("__num") / F.col("__den")).alias("rate"),
+        F.when(F.col("__den") > 0, F.expr("__num div __den"))
+        .otherwise(F.lit(0)).cast("long").alias("epochs"),
+        F.when(F.col("__den") > 0, F.col("__num") % F.col("__den"))
+        .otherwise(F.lit(0)).cast("long").alias("rem_num"),
+        F.col("__den").alias("rem_den"),
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    explode: bool = False,
+) -> DataFrame:
+    """Deterministic temperature resampling: each document receives
+    ``n_copies = epochs + Bernoulli(rem)`` where the Bernoulli draw is
+    the stable hash test ``h32·rem_den < rem_num·2^32`` with
+    ``h32 = first 8 md5 hex digits of "mix:<seed>:<id>"`` — the same
+    doc is kept on every run and every cluster size, and the expected
+    token count per domain is exactly the mixture target. The compare
+    runs in decimal(38,0) so it is EXACT (h32·den can reach ~2^79; both
+    Spark decimal and DuckDB HUGEINT carry it losslessly).
+
+    Scale shape: ``weights`` is domains-sized and broadcast — the
+    corpus crosses ZERO exchanges: per-row hash + multiply, then
+    (optionally, ``explode=True``) a generator for the epoch copies.
+    This is the plan you want at 100 TB: resampling is a projection,
+    not a shuffle.
+    """
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("mix"), F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    w = F.broadcast(weights.select(group_col, "epochs", "rem_num", "rem_den"))
+    out = (
+        df.join(w, group_col, "left")
+        .withColumn("__h32", h32)
+        .withColumn(
+            "n_copies",
+            (
+                F.coalesce(F.col("epochs"), F.lit(0))
+                + F.when(
+                    (F.col("__h32").cast("decimal(38,0)") * F.col("rem_den").cast("decimal(38,0)"))
+                    < (F.col("rem_num").cast("decimal(38,0)") * F.lit(4294967296).cast("decimal(38,0)")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("long"),
+        )
+        .drop("epochs", "rem_num", "rem_den", "__h32")
+    )
+    if not explode:
+        return out
+    return (
+        out.filter(F.col("n_copies") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
+    )
