@@ -1092,6 +1092,39 @@ def q_text_mixture_resample(spark, sf):
     return r.select("doc_id", "source", "doc_tokens", "n_copies").orderBy("doc_id")
 
 
+def q_wet_roundtrip(spark, sf):
+    """WET (Common-Crawl-style WARC conversion) sink + source round
+    trip (sources/wet.py): the documents table is exported as sharded
+    ``.warc.wet.gz`` files (byte-deterministic: per-shard sort + fixed
+    gzip mtime) and read back through the record parser. The result
+    carries the doc id parsed from WARC-Target-URI, the Content-Length
+    HEADER value, and md5(text) of the parsed payload; the oracle
+    recomputes byte length + md5 from the raw table — a hash match
+    proves header/payload fidelity through the full container format."""
+    import shutil
+    import tempfile
+
+    from walker_spark.sources.wet import read_wet, write_wet
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "walker_spark_wet_oracle_" + os.path.basename(os.path.normpath(sf)),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_wet(_t(spark, sf, "documents"), out_dir, n_files=8)
+    return (
+        read_wet(spark, out_dir + "/*.warc.wet.gz")
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content_length",
+            F.md5("text").alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_status_histogram": q_crawl_status_histogram,
@@ -1138,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_span_dedup": q_text_span_dedup,
         "text_pack_sequences": q_text_pack_sequences,
         "text_mixture_resample": q_text_mixture_resample,
+        "wet_roundtrip": q_wet_roundtrip,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -2212,6 +2246,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_copies
             FROM tokc t JOIN per p USING (source)
             ORDER BY t.doc_id
+        """,
+        # wet_roundtrip: the Spark side goes documents → WARC/WET files
+        # on disk → record parser; the oracle reads the table directly.
+        # Equal hashes == the container format is lossless end-to-end.
+        "wet_roundtrip": r"""
+            SELECT doc_id,
+                   CAST(strlen(text) AS BIGINT) AS content_length,
+                   md5(text) AS text_md5
+            FROM documents ORDER BY doc_id
         """,
         "text_bpe_tokens": r"""
             WITH t AS (
