@@ -1125,6 +1125,100 @@ def q_wet_roundtrip(spark, sf):
     )
 
 
+def q_sitemap_roundtrip(spark, sf):
+    """Sitemap sink + source round trip (sources/sitemap.py): one
+    spec-conformant sitemap per source (entries sorted, gzip mtime
+    fixed) plus a sitemapindex, re-read through the bounded iterparse
+    parser. Output = (doc_id from <loc>, loc, lastmod, priority); the
+    oracle recomputes the same fields from the raw table — a hash match
+    proves XML round-trip fidelity including the 1-decimal priority."""
+    import shutil
+    import tempfile
+
+    from walker_spark.sources.sitemap import read_sitemaps, write_sitemaps
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "walker_spark_sitemap_oracle_" + os.path.basename(os.path.normpath(sf)),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    did = F.col("doc_id")
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/doc/"), did.cast("string")
+        ).alias("loc"),
+        F.concat(
+            F.lit("2026-01-"), F.lpad(((did % 28) + 1).cast("string"), 2, "0")
+        ).alias("lastmod"),
+        (((did % 9) + 1) / 10.0).alias("prio"),
+    )
+    write_sitemaps(
+        d, out_dir, loc_col="loc", group_col="source",
+        lastmod_col="lastmod", priority_col="prio",
+    )
+    return (
+        read_sitemaps(spark, out_dir + "/*")
+        .filter(F.col("kind") == "url")
+        .select(
+            F.regexp_extract("loc", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+            "loc",
+            "lastmod",
+            "priority",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _doc_host_expr():
+    """Deterministic per-doc hostname over the documents fixture:
+    ``[cdn.]h<id%23>.<source>.example`` — multi-level so suffix rules
+    have structure to match."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 4 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.lit("h"),
+        (did % 23).cast("string"),
+        F.lit("."),
+        F.col("source"),
+        F.lit(".example"),
+    )
+
+
+def q_host_blocklist(spark, sf):
+    """Domain-blocklist gate (functions/hosts.py::host_blocklist_filter,
+    the C4-style URL filter): label-wise suffix semantics, longest rule
+    wins. Spark explodes each host's suffixes into a broadcast join
+    (corpus crosses zero exchanges); the oracle uses an INDEPENDENT
+    formulation — ``host = rule OR host LIKE '%.' || rule`` — so the
+    hash match proves the suffix semantics themselves, not a shared
+    implementation."""
+    from walker_spark.functions.hosts import host_blocklist_filter
+
+    d = _t(spark, sf, "documents").withColumn("host", _doc_host_expr())
+    rules = spark.createDataFrame(
+        [("src2.example",), ("h7.src0.example",), ("cdn.h3.src1.example",)],
+        "rule string",
+    )
+    return (
+        host_blocklist_filter(d, rules)
+        .select("doc_id", "host", "blocked", "matched_rule")
+        .orderBy("doc_id")
+    )
+
+
+def q_host_stats(spark, sf):
+    """Per-registered-domain rollup (functions/hosts.py::host_stats):
+    docs, whitespace tokens, distinct hosts per last-2-label domain.
+    Spark derives the domain by label slicing; the oracle re-derives it
+    with a regex — independent constructions, same values."""
+    from walker_spark.functions.hosts import host_stats
+
+    d = _t(spark, sf, "documents").withColumn("host", _doc_host_expr())
+    return host_stats(d).orderBy("registered_domain")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_status_histogram": q_crawl_status_histogram,
@@ -1172,6 +1266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": q_text_pack_sequences,
         "text_mixture_resample": q_text_mixture_resample,
         "wet_roundtrip": q_wet_roundtrip,
+        "host_blocklist": q_host_blocklist,
+        "host_stats": q_host_stats,
+        "sitemap_roundtrip": q_sitemap_roundtrip,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -2255,6 +2352,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS content_length,
                    md5(text) AS text_md5
             FROM documents ORDER BY doc_id
+        """,
+        # sitemap_roundtrip: Spark goes documents → XML files on disk →
+        # iterparse; the oracle reads the table directly.
+        "sitemap_roundtrip": r"""
+            SELECT doc_id,
+                   'https://' || source || '.example/doc/' || doc_id AS loc,
+                   '2026-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                     AS lastmod,
+                   ((doc_id % 9) + 1) / 10.0 AS priority
+            FROM documents ORDER BY doc_id
+        """,
+        # host_blocklist: independent suffix formulation (LIKE '%.'||rule
+        # vs Spark's suffix-explode) — the hash match proves semantics.
+        "host_blocklist": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END
+                     || 'h' || (doc_id % 23) || '.' || source || '.example' AS host
+              FROM documents
+            ), rules(rule) AS (
+              VALUES ('src2.example'), ('h7.src0.example'), ('cdn.h3.src1.example')
+            ), m AS (
+              SELECT doc_id, rule,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY length(rule) DESC, rule DESC
+                     ) AS rn
+              FROM h JOIN rules r
+                ON h.host = r.rule OR h.host LIKE '%.' || r.rule
+            )
+            SELECT h.doc_id, h.host,
+                   (m.rule IS NOT NULL) AS blocked,
+                   m.rule AS matched_rule
+            FROM h LEFT JOIN (SELECT doc_id, rule FROM m WHERE rn = 1) m
+              USING (doc_id)
+            ORDER BY h.doc_id
+        """,
+        # host_stats: registered domain re-derived by regex (Spark
+        # slices labels) — independent constructions.
+        "host_stats": r"""
+            WITH h AS (
+              SELECT doc_id, source, text,
+                     CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END
+                     || 'h' || (doc_id % 23) || '.' || source || '.example' AS host
+              FROM documents
+            )
+            SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS registered_domain,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                            END) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+            FROM h GROUP BY 1 ORDER BY 1
         """,
         "text_bpe_tokens": r"""
             WITH t AS (
