@@ -1125,6 +1125,30 @@ def q_wet_roundtrip(spark, sf):
     )
 
 
+def q_text_quality_model(spark, sf):
+    """Model-based quality filter (functions/text.py::quality_logit):
+    a fixed logistic layer over the native quality features — the
+    classifier-filter stage of the public corpus recipes, as a pure
+    whole-stage-codegen projection. The oracle recomputes every
+    feature AND the model (ln + sigmoid) in SQL; outputs are rounded
+    to 6 decimals so the ≤1-ulp libm differences are invisible."""
+    from walker_spark.functions.text import quality_logit
+
+    return (
+        quality_logit(_t(spark, sf, "documents"), lang_col=None)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "stopword_ratio",
+            "avg_token_len",
+            "model_logit",
+            "model_score",
+            "model_keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_sitemap_roundtrip(spark, sf):
     """Sitemap sink + source round trip (sources/sitemap.py): one
     spec-conformant sitemap per source (entries sorted, gzip mtime
@@ -1269,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_blocklist": q_host_blocklist,
         "host_stats": q_host_stats,
         "sitemap_roundtrip": q_sitemap_roundtrip,
+        "text_quality_model": q_text_quality_model,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -2352,6 +2377,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS content_length,
                    md5(text) AS text_md5
             FROM documents ORDER BY doc_id
+        """,
+        # text_quality_model: every feature and the logistic layer
+        # recomputed relationally; 6-decimal rounding hides ≤1-ulp libm
+        # spread in ln/exp while still pinning the model exactly.
+        "text_quality_model": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS n_tokens,
+                     length(text) AS n_chars,
+                     length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                     length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_tokens,
+                     CASE WHEN n_chars > 0 THEN round(n_punct * 1.0 / n_chars, 4) ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN n_chars > 0 THEN round(n_digit * 1.0 / n_chars, 4) ELSE 0.0 END AS digit_ratio,
+                     CASE WHEN n_alpha > 0 THEN round(n_upper * 1.0 / n_alpha, 4) ELSE 0.0 END AS upper_ratio,
+                     CASE WHEN n_tokens > 0
+                          THEN round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 4)
+                          ELSE 0.0 END AS avg_token_len,
+                     CASE WHEN n_tokens > 0 THEN round(
+                       len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> list_contains(['a','and','as','for','in','is','it','of',
+                                               'on','that','the','this','to','with'], x)))
+                       * 1.0 / n_tokens, 4) ELSE 0.0 END AS stopword_ratio
+              FROM t
+            ), z AS (
+              SELECT doc_id, n_tokens, stopword_ratio, avg_token_len,
+                     -1.0 + 0.55 * ln(1.0 + n_tokens)
+                          + (-4.0) * punct_ratio
+                          + (-3.0) * digit_ratio
+                          + (-1.5) * upper_ratio
+                          + 2.5 * stopword_ratio
+                          + (-0.6) * abs(avg_token_len - 5.0) AS zz
+              FROM s
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   stopword_ratio, avg_token_len,
+                   round(zz, 6) AS model_logit,
+                   round(1.0 / (1.0 + exp(-zz)), 6) AS model_score,
+                   (round(1.0 / (1.0 + exp(-zz)), 6) >= 0.5) AS model_keep
+            FROM z ORDER BY doc_id
         """,
         # sitemap_roundtrip: Spark goes documents → XML files on disk →
         # iterparse; the oracle reads the table directly.

@@ -100,6 +100,11 @@ def test_sitemap_guards():
     # truncated gzip member
     rows, errors = _parse_sitemap_bytes("t", gzip.compress(b"<urlset></urlset>")[:10])
     assert rows == [] and errors == 1
+    # junk <priority>: keep the URL, drop the field, no error
+    rows, errors = _parse_sitemap_bytes(
+        "p", b"<urlset><url><loc>u</loc><priority>n/a</priority></url></urlset>"
+    )
+    assert [(r["loc"], r["priority"]) for r in rows] == [("u", None)] and errors == 0
 
 
 def test_sitemap_malformed_in_spark(spark, tmp_path):

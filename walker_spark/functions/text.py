@@ -29,8 +29,10 @@ __all__ = [
     "pack_sequences",
     "mixture_weights",
     "mixture_resample",
+    "quality_logit",
     "STOPWORDS",
     "PII_PATTERNS",
+    "QUALITY_LOGIT_WEIGHTS",
 ]
 
 # Tiny per-language stopword profiles (public common-word lists).
@@ -858,4 +860,65 @@ def mixture_resample(
     return (
         out.filter(F.col("n_copies") > 0)
         .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
+    )
+
+
+# Hand-set, documented weights for the reference quality model below —
+# a stand-in for a trained classifier's coefficients (the PLUMBING is
+# the product here: a real fasttext/logreg export drops into the same
+# columns). Signs follow the public corpus-quality intuition: length
+# and stopword density up, punctuation/digit/upper noise down.
+QUALITY_LOGIT_WEIGHTS = {
+    "bias": -1.0,
+    "log_tokens": 0.55,       # log(1 + n_tokens)
+    "punct_ratio": -4.0,
+    "digit_ratio": -3.0,
+    "upper_ratio": -1.5,
+    "stopword_ratio": 2.5,
+    "avg_token_len_dev": -0.6,  # |avg_token_len - 5|, distance from prose
+}
+
+
+def quality_logit(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    threshold: float = 0.5,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Model-based quality scoring — the "classifier filter" stage of a
+    training-data pipeline (the public recipes run a linear/fasttext
+    model over cheap features and keep docs above a probability
+    threshold). Features are the native columns of
+    :func:`quality_metrics`; the model is a fixed logistic layer:
+    ``model_score = sigmoid(w·x + b)`` with :data:`QUALITY_LOGIT_WEIGHTS`
+    (or caller-supplied coefficients — a trained export plugs in here).
+
+    Adds ``model_logit`` (rounded 6), ``model_score`` (rounded 6) and
+    ``model_keep`` (score ≥ threshold).
+
+    Scale shape: a pure projection over whole-stage-codegen exprs —
+    no Python, no shuffle; composes with train_filter/dedup gates at
+    zero plan cost. The one transcendental is ``exp`` inside sigmoid
+    (libm-correct to ≤1 ulp everywhere), so the rounded outputs are
+    engine-replicable — the oracle recomputes the whole model in SQL.
+    """
+    w = dict(QUALITY_LOGIT_WEIGHTS)
+    if weights:
+        w.update(weights)
+    qm = quality_metrics(df, text_col=text_col, lang_col=lang_col)
+    z = (
+        F.lit(float(w["bias"]))
+        + F.lit(float(w["log_tokens"])) * F.log1p(F.col("n_tokens"))
+        + F.lit(float(w["punct_ratio"])) * F.col("punct_ratio")
+        + F.lit(float(w["digit_ratio"])) * F.col("digit_ratio")
+        + F.lit(float(w["upper_ratio"])) * F.col("upper_ratio")
+        + F.lit(float(w["stopword_ratio"])) * F.col("stopword_ratio")
+        + F.lit(float(w["avg_token_len_dev"])) * F.abs(F.col("avg_token_len") - 5.0)
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        qm.withColumn("model_logit", F.round(z, 6))
+        .withColumn("model_score", F.round(score, 6))
+        .withColumn("model_keep", F.round(score, 6) >= F.lit(float(threshold)))
     )

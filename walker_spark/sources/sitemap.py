@@ -159,6 +159,10 @@ def _parse_sitemap_bytes(name: str, blob: bytes) -> tuple[list[dict], int]:
                 return None if node is None or node.text is None else node.text.strip()
 
             prio = child("priority")
+            try:
+                prio_f = float(prio) if prio is not None else None
+            except ValueError:  # junk priority: keep the URL, drop the field
+                prio_f = None
             rows.append(
                 {
                     "sitemap_file": name,
@@ -166,7 +170,7 @@ def _parse_sitemap_bytes(name: str, blob: bytes) -> tuple[list[dict], int]:
                     "loc": child("loc") or "",
                     "lastmod": child("lastmod"),
                     "changefreq": child("changefreq"),
-                    "priority": float(prio) if prio is not None else None,
+                    "priority": prio_f,
                 }
             )
             el.clear()  # iterparse: drop handled subtrees, O(1) memory
