@@ -1067,6 +1067,25 @@ def q_text_pack_sequences(spark, sf):
     )
 
 
+def q_text_pack_examples(spark, sf):
+    """Bin materialization (functions/text.py::pack_examples): the
+    packed training examples themselves — per (shard, bin), the token
+    array in stream order, emitted here as md5(joined tokens) so the
+    oracle's string_agg-ordered rebuild pins BYTE-exact content and
+    order, not just counts."""
+    from walker_spark.functions.text import pack_examples
+
+    ex = pack_examples(
+        _t(spark, sf, "documents"), ctx=512, n_shards=8
+    )
+    return ex.select(
+        "shard",
+        "bin",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("tokens"))).alias("tokens_md5"),
+    ).orderBy("shard", "bin")
+
+
 def q_text_mixture_resample(spark, sf):
     """Temperature-mixed (α=0.5) domain resampling (functions/text.py::
     mixture_weights + mixture_resample): per-source sqrt-scaled token
@@ -1288,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_span_dedup": q_text_span_dedup,
         "text_pack_sequences": q_text_pack_sequences,
+        "text_pack_examples": q_text_pack_examples,
         "text_mixture_resample": q_text_mixture_resample,
         "wet_roundtrip": q_wet_roundtrip,
         "host_blocklist": q_host_blocklist,
@@ -2327,6 +2347,42 @@ def oracle_sql() -> dict[str, str]:
                              - start_offset // 512 + 1
                         ELSE 0 END AS BIGINT) AS n_bins_spanned
             FROM o ORDER BY doc_id
+        """,
+        # text_pack_examples: the shard stream rebuilt relationally —
+        # global pos = window cumsum + in-doc subscript, bin = pos//ctx,
+        # content+order pinned by md5(string_agg ORDER BY pos).
+        "text_pack_examples": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CAST('0x' || substr(
+                       md5('shard42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) % 8 AS BIGINT) AS shard,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ), o AS (
+              SELECT doc_id, shard,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_offset
+              FROM t
+            ), raw AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok,
+                     generate_subscripts(
+                       string_split_regex(trim(text), '\s+'), 1) AS p
+              FROM documents WHERE trim(text) <> ''
+            ), tok AS (
+              SELECT o.shard, o.start_offset + raw.p - 1 AS pos, raw.tok
+              FROM raw JOIN o USING (doc_id)
+            )
+            SELECT shard, pos // 512 AS bin,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS tokens_md5
+            FROM tok GROUP BY shard, pos // 512
+            ORDER BY shard, bin
         """,
         # text_mixture_resample: one IEEE sqrt then exact integer /
         # HUGEINT arithmetic end-to-end — the value-hash match IS the

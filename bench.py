@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "text_token_counts",
     "text_span_dedup",
     "text_pack_sequences",
+    "text_pack_examples",
     "text_repetition",
     "text_decontaminate",
     "ann_cosine_topk",

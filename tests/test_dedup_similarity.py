@@ -812,3 +812,35 @@ def test_mixture_weights_resample(spark):
 
     realized = got.agg(F.sum(token_count_expr(F.col("text")))).collect()[0][0]
     assert abs(realized - 2 * tsum) / (2 * tsum) < 0.10
+
+
+def test_pack_examples_stream_fidelity(spark):
+    """Materialized bins reconstruct each shard's concatenated token
+    stream exactly (order restored by position through the shuffle)."""
+    from walker_spark.functions.text import pack_examples
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(3 + i % 7))) for i in range(80)],
+        "doc_id long, text string",
+    )
+    ex = pack_examples(docs, ctx=16, n_shards=3).collect()
+    per_shard = {}
+    for r in sorted(ex, key=lambda r: (r["shard"], r["bin"])):
+        per_shard.setdefault(r["shard"], []).extend(r["tokens"])
+        assert len(r["tokens"]) == r["n_tokens"]
+    # expected stream: docs of this shard sorted by id, tokens in order
+    from walker_spark.functions.text import pack_sequences
+
+    packed = pack_sequences(docs, ctx=16, n_shards=3).collect()
+    shard_of = {r["doc_id"]: r["shard"] for r in packed}
+    want = {}
+    for r in sorted(docs.collect(), key=lambda r: r["doc_id"]):
+        want.setdefault(shard_of[r["doc_id"]], []).extend(r["text"].split())
+    assert per_shard == want
+    # every bin but each shard's last is exactly full
+    for s, rows in {
+        s: sorted((r for r in ex if r["shard"] == s), key=lambda r: r["bin"])
+        for s in {r["shard"] for r in ex}
+    }.items():
+        assert all(r["n_tokens"] == 16 for r in rows[:-1])
+        assert [r["bin"] for r in rows] == list(range(len(rows)))

@@ -27,6 +27,7 @@ __all__ = [
     "pii_scrub",
     "cross_doc_span_stats",
     "pack_sequences",
+    "pack_examples",
     "mixture_weights",
     "mixture_resample",
     "quality_logit",
@@ -921,4 +922,63 @@ def quality_logit(
         qm.withColumn("model_logit", F.round(z, 6))
         .withColumn("model_score", F.round(score, 6))
         .withColumn("model_keep", F.round(score, 6) >= F.lit(float(threshold)))
+    )
+
+
+def pack_examples(
+    df: DataFrame,
+    ctx: int = 1024,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize :func:`pack_sequences` (concat mode) into the actual
+    training examples: one row per (shard, bin) holding the bin's
+    ``tokens`` array in stream order — what a trainer memory-maps.
+
+    Construction is fully native: the per-doc ``start_offset`` from the
+    packing window gives every token a GLOBAL position in its shard's
+    stream (``start_offset + posexplode index``); ``pos div ctx`` is
+    its bin; one groupBy (shard, bin) reassembles each example with
+    ``array_sort(collect_list(struct(pos, token)))`` — order restored
+    by position, not by arrival.
+
+    Scale shape: the token-level explode is O(tokens) rows of (shard,
+    bin, pos, token) — unavoidable for materialization (this IS the
+    output payload) — and the single exchange is on (shard, bin), i.e.
+    uniformly distributed by construction, no skew possible. Every bin
+    holds exactly ``ctx`` tokens except the last of each shard
+    (``n_tokens`` column says which). A doc split across bins
+    contributes its head/tail to adjacent bins — byte-for-byte the
+    concat-and-chunk layout GPT-style training uses.
+    """
+    packed = pack_sequences(
+        df, ctx=ctx, n_shards=n_shards, text_col=text_col,
+        id_col=id_col, mode="concat", seed=seed,
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda s: s != F.lit("")
+    )
+    with_text = packed.join(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    exploded = with_text.select(
+        "shard", "start_offset", F.posexplode(toks).alias("__p", "__tok")
+    ).select(
+        "shard",
+        (F.col("start_offset") + F.col("__p")).alias("__pos"),
+        "__tok",
+    )
+    return (
+        exploded
+        .withColumn("bin", F.expr(f"__pos div {int(ctx)}"))
+        .groupBy("shard", "bin")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__tok")))),
+                lambda s: s["__tok"],
+            ).alias("tokens"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
     )
