@@ -1144,6 +1144,87 @@ def q_wet_roundtrip(spark, sf):
     )
 
 
+def q_link_pagerank(spark, sf):
+    """PageRank over the documents-derived link graph (operators/
+    graph.py::pagerank; the SAME edge set as the crawl oracles'
+    _CRAWL_CTE: next-3 same-source docs when doc_id%7<4). 5 damped
+    iterations with a 12-decimal quantized trajectory — the oracle
+    unrolls all 5 iterations relationally (every constant pinned as a
+    DOUBLE literal: DuckDB parses bare decimals as DECIMAL, which
+    would diverge from the IEEE math Spark does) and the 6-decimal
+    rank hash match proves the distributed loop computes the exact
+    reference trajectory."""
+    from pyspark.sql import Window
+
+    from walker_spark.operators.graph import pagerank
+
+    d = _t(spark, sf, "documents")
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    base = d.select("doc_id", "source", rn.alias("rn"))
+    a = (
+        base.filter(F.col("doc_id") % 7 < 4)
+        .select(
+            "source",
+            F.col("doc_id").alias("s"),
+            "rn",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select("source", "s", (F.col("rn") + F.col("k")).alias("rn_t"))
+    )
+    edges = a.join(
+        base.select("source", F.col("rn").alias("rn_t"), F.col("doc_id").alias("t")),
+        ["source", "rn_t"],
+    ).select("s", "t")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    return (
+        pagerank(edges, nodes=nodes, iterations=5, damping=0.85)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled PageRank oracle: every float constant emitted as a
+    %.17e DOUBLE literal so DuckDB's decimal literal typing cannot
+    diverge from the IEEE doubles the Spark side uses."""
+    dmp = f"{damping:.17e}"
+    one_minus = f"{(1.0 - damping):.17e}"
+    cte = [
+        "dd AS (SELECT doc_id, source, row_number() OVER "
+        "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents)",
+        "edges AS (SELECT a.doc_id AS s, b.doc_id AS t FROM dd a JOIN dd b "
+        "ON a.source = b.source AND b.rn BETWEEN a.rn + 1 AND a.rn + 3 "
+        "WHERE a.doc_id % 7 < 4)",
+        "deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)",
+        "r0 AS (SELECT doc_id AS id, round(1e0 / (SELECT n FROM nn), 12) AS r "
+        "FROM documents)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        cte.append(
+            f"c{k} AS (SELECT e.t AS id, sum(round(r.r / deg.deg, 12)) AS cin "
+            f"FROM r{p} r JOIN edges e ON e.s = r.id JOIN deg ON deg.s = e.s "
+            f"GROUP BY e.t)"
+        )
+        cte.append(
+            f"dang{k} AS (SELECT coalesce(sum(r.r), 0e0) AS dm FROM r{p} r "
+            f"LEFT JOIN deg ON deg.s = r.id WHERE deg.s IS NULL)"
+        )
+        cte.append(
+            f"r{k} AS (SELECT v.id, round("
+            f"{one_minus} / (SELECT n FROM nn) "
+            f"+ {dmp} * round((SELECT dm FROM dang{k}), 12) / (SELECT n FROM nn) "
+            f"+ {dmp} * coalesce(c.cin, 0e0), 12) AS r "
+            f"FROM r0 v LEFT JOIN c{k} c USING (id))"
+        )
+    return (
+        "WITH "
+        + ",\n ".join(cte)
+        + f"\n SELECT id AS doc_id, round(r, 6) AS rank FROM r{iters} ORDER BY doc_id"
+    )
+
+
 def q_text_quality_model(spark, sf):
     """Model-based quality filter (functions/text.py::quality_logit):
     a fixed logistic layer over the native quality features — the
@@ -1314,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "sitemap_roundtrip": q_sitemap_roundtrip,
         "text_quality_model": q_text_quality_model,
+        "link_pagerank": q_link_pagerank,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -2434,6 +2516,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS text_md5
             FROM documents ORDER BY doc_id
         """,
+        "link_pagerank": _pagerank_sql(iters=5, damping=0.85),
         # text_quality_model: every feature and the logistic layer
         # recomputed relationally; 6-decimal rounding hides ≤1-ulp libm
         # spread in ln/exp while still pinning the model exactly.

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_cluster_assign",
+    "link_pagerank",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
