@@ -1144,6 +1144,29 @@ def q_wet_roundtrip(spark, sf):
     )
 
 
+def q_corpus_curate(spark, sf):
+    """The one-call curation pipeline (walker_spark/pipeline.py::
+    curate_corpus): C4-style prefilter → exact dedup (min-id winner
+    per normalized-text md5) → deterministic per-source cap, with
+    every document attributed to the stage that dropped it. The oracle
+    recomposes ALL THREE stages relationally in pipeline order — the
+    hash match certifies the composed semantics, including that a
+    filtered doc is never charged to dedup and the cap ranks only
+    earlier-stage survivors."""
+    from walker_spark.pipeline import curate_corpus
+
+    return (
+        curate_corpus(_t(spark, sf, "documents"), cap_per_stratum=15)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "drop_stage",
+            "kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_link_pagerank(spark, sf):
     """PageRank over the documents-derived link graph (operators/
     graph.py::pagerank; the SAME edge set as the crawl oracles'
@@ -1396,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_roundtrip": q_sitemap_roundtrip,
         "text_quality_model": q_text_quality_model,
         "link_pagerank": q_link_pagerank,
+        "corpus_curate": q_corpus_curate,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -2517,6 +2541,53 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "link_pagerank": _pagerank_sql(iters=5, damping=0.85),
+        # corpus_curate: all three pipeline stages recomposed in order —
+        # prefilter causes, min-id dedup among passers, md5-ranked cap
+        # over dedup survivors.
+        "corpus_curate": rf"""
+            WITH q AS (
+              SELECT doc_id, source, text,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS BIGINT) AS n_tokens,
+                     CASE WHEN length(text) > 0 THEN round((length(text)
+                          - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                          * 1.0 / length(text), 4) ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN length(text) > 0 THEN round((length(text)
+                          - length(regexp_replace(text, '[0-9]', '', 'g')))
+                          * 1.0 / length(text), 4) ELSE 0.0 END AS digit_ratio
+              FROM documents
+            ), f AS (
+              SELECT *, CASE WHEN n_tokens < 5 OR n_tokens > 100000 THEN 'len'
+                             WHEN punct_ratio > 0.2 THEN 'punct'
+                             WHEN digit_ratio > 0.3 THEN 'digit'
+                             ELSE '' END AS cause
+              FROM q
+            ), h AS (
+              SELECT *, md5({_NORM_TEXT_SQL}) AS th FROM f
+            ), w AS (
+              SELECT th, min(doc_id) AS win FROM h WHERE cause = '' GROUP BY th
+            ), s AS (
+              SELECT h.doc_id, h.source, h.n_tokens, h.cause,
+                     (w.win = h.doc_id) AS is_win
+              FROM h LEFT JOIN w USING (th)
+            ), c AS (
+              SELECT doc_id, row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rk
+              FROM s WHERE cause = '' AND is_win
+            ), st AS (
+              SELECT s.doc_id, s.n_tokens,
+                     CASE WHEN s.cause <> '' THEN 'filter:' || s.cause
+                          WHEN NOT s.is_win THEN 'dedup'
+                          WHEN c.rk IS NULL OR c.rk > 15 THEN 'cap'
+                          ELSE '' END AS drop_stage
+              FROM s LEFT JOIN c USING (doc_id)
+            )
+            SELECT doc_id, n_tokens, drop_stage, (drop_stage = '') AS kept
+            FROM st ORDER BY doc_id
+        """,
         # text_quality_model: every feature and the logistic layer
         # recomputed relationally; 6-decimal rounding hides ≤1-ulp libm
         # spread in ln/exp while still pinning the model exactly.

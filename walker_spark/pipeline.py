@@ -1,0 +1,119 @@
+"""The end-to-end corpus curation pipeline — the one-call user story
+that composes the individual gates this package provides:
+
+    raw documents
+      → C4-style prefilter        (functions/text.py::train_filter)
+      → exact dedup               (128-bit md5 of normalized text,
+                                   min-id survivor — operators/dedup.py
+                                   semantics, inlined here so the stage
+                                   can attribute drops)
+      → per-host/source cap       (functions/text.py::stratified_sample)
+      → curated corpus + per-stage attribution
+
+Each document exits with a ``drop_stage`` ('' for survivors), so the
+output is simultaneously the curated corpus AND the audit trail — at
+100 TB you never want to re-run the pipeline just to learn why a
+document disappeared.
+
+Plan shape: the prefilter is a projection (zero shuffle); exact dedup
+is one hash exchange on the 128-bit text hash (ids+hash only — the
+min-id winner comes from a map-side-combined ``min``); the cap is one
+window exchange on the stratum with Catalyst's WindowGroupLimit
+map-side top-k; the final attribution join is ids-only. The corpus
+text crosses at most ONE exchange end to end (the dedup groupBy),
+which is the floor for global dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["curate_corpus"]
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    strata_col: str = "source",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.2,
+    max_digit_ratio: float = 0.3,
+    cap_per_stratum: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Returns the input plus ``drop_stage`` ∈ {'', 'filter:<cause>',
+    'dedup', 'cap'} and ``kept`` — evaluated in pipeline order, so a
+    document failing the prefilter is never charged to dedup, and the
+    cap ranks only docs that survived both earlier gates."""
+    from .functions.text import stratified_sample, train_filter
+    from .operators.dedup import normalize_text_expr
+
+    # stage 1: prefilter with first-gate cause attribution
+    annotated = train_filter(
+        df,
+        text_col=text_col,
+        lang_col=lang_col,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        max_punct_ratio=max_punct_ratio,
+        max_digit_ratio=max_digit_ratio,
+    )
+    cause = (
+        F.when(F.col("drop_len"), F.lit("len"))
+        .when(F.col("drop_punct"), F.lit("punct"))
+        .when(F.col("drop_digit"), F.lit("digit"))
+        .when(F.col("drop_lang"), F.lit("lang"))
+        .otherwise(F.lit(""))
+    )
+    filtered = annotated.withColumn("drop_cause", cause).drop(
+        "drop_len", "drop_punct", "drop_digit", "drop_lang", "kept"
+    )
+    # stage 2: exact dedup among filter-passers — min id per 128-bit
+    # hash wins (ids+hash only through the exchange)
+    hashed = filtered.withColumn(
+        "__th", F.md5(normalize_text_expr(F.col(text_col)))
+    )
+    winners = (
+        hashed.filter(F.col("drop_cause") == "")
+        .groupBy("__th")
+        .agg(F.min(id_col).alias("__win"))
+    )
+    deduped = hashed.join(
+        winners, hashed["__th"] == winners["__th"], "left"
+    ).select(
+        hashed["*"], (F.col("__win") == F.col(id_col)).alias("__is_win")
+    )
+    # stage 3: deterministic per-stratum cap over survivors so far
+    if cap_per_stratum is not None:
+        survivors = deduped.filter(
+            (F.col("drop_cause") == "") & F.col("__is_win")
+        )
+        capped = stratified_sample(
+            survivors.select(id_col, strata_col),
+            strata_cols=(strata_col,),
+            k=cap_per_stratum,
+            id_col=id_col,
+            seed=seed,
+        ).select(F.col(id_col).alias("__kept_id"))
+        deduped = deduped.join(
+            capped, deduped[id_col] == F.col("__kept_id"), "left"
+        )
+    else:
+        deduped = deduped.withColumn(
+            "__kept_id", F.when(F.col("__is_win"), F.col(id_col))
+        )
+    stage = (
+        F.when(F.col("drop_cause") != "", F.concat(F.lit("filter:"), F.col("drop_cause")))
+        .when(~F.col("__is_win"), F.lit("dedup"))
+        .when(F.col("__kept_id").isNull(), F.lit("cap"))
+        .otherwise(F.lit(""))
+    )
+    return (
+        deduped.withColumn("drop_stage", stage)
+        .withColumn("kept", F.col("drop_stage") == "")
+        .drop("__th", "__is_win", "__kept_id", "drop_cause")
+    )
