@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_cluster_assign",
     "link_pagerank",
+    "corpus_curate",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",

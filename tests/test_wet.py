@@ -86,3 +86,29 @@ def test_wet_malformed_files(spark, tmp_path):
     twin = files[0].rsplit("/", 1)[1]
     n_twin = records.filter(F.col("wet_file").endswith(twin)).count()
     assert n_broken < n_twin
+
+
+def test_export_crawl_wet(spark, tmp_path):
+    """Crawl results → WET: only successful fetches with text ship;
+    the URL is Target-URI and record key; re-export is byte-identical."""
+    import hashlib
+
+    rows = [
+        ("https://h.example/a", 200, "extracted text of page a"),
+        ("https://h.example/b", 200, "extracted text of page b"),
+        ("https://h.example/dead", 404, None),       # dropped: code
+        ("https://h.example/empty", 200, ""),        # dropped: no text
+        ("https://h.example/redir", 301, "ignored"),  # dropped: code
+    ]
+    results = spark.createDataFrame(rows, "url string, code int, text string")
+    from walker_spark.sources.wet import export_crawl_wet
+
+    f1 = export_crawl_wet(results, str(tmp_path / "x"), n_files=2)
+    back = read_wet(spark, str(tmp_path / "x") + "/*.warc.wet.gz").collect()
+    assert {(r["target_uri"], r["text"]) for r in back} == {
+        ("https://h.example/a", "extracted text of page a"),
+        ("https://h.example/b", "extracted text of page b"),
+    }
+    f2 = export_crawl_wet(results.repartition(3), str(tmp_path / "y"), n_files=2)
+    h = lambda fs: sorted(hashlib.md5(open(f, "rb").read()).hexdigest() for f in fs)  # noqa: E731
+    assert h(f1) == h(f2)

@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_wet", "read_wet", "wet_uri_for"]
+__all__ = ["write_wet", "read_wet", "wet_uri_for", "export_crawl_wet"]
 
 _WET_DATE = "2026-01-01T00:00:00Z"  # fixed: reproducible byte-identical files
 _READ_SCHEMA = (
@@ -62,7 +62,7 @@ def wet_uri_for(doc_id) -> "F.Column":
     return F.concat(F.lit("https://example.org/doc/"), F.col(doc_id).cast("string"))
 
 
-def _record_id(doc_id: int) -> str:
+def _record_id(doc_id) -> str:
     h = hashlib.md5(f"wet:{doc_id}".encode()).hexdigest()
     return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
 
@@ -98,7 +98,7 @@ def write_wet(
     uri = F.col(uri_col) if uri_col else wet_uri_for(id_col)
     slim = df.select(
         shard.alias("__shard"),
-        F.col(id_col).cast("long").alias("__id"),
+        F.col(id_col).cast("string").alias("__id"),
         uri.alias("__uri"),
         F.col(text_col).alias("__text"),
     ).repartition(n_files, "__shard").sortWithinPartitions("__id")
@@ -136,7 +136,7 @@ def write_wet(
                     _record(
                         [
                             ("WARC-Type", "conversion"),
-                            ("WARC-Record-ID", _record_id(int(_id))),
+                            ("WARC-Record-ID", _record_id(str(_id))),
                             ("WARC-Target-URI", str(_uri)),
                             ("WARC-Date", _WET_DATE),
                             ("Content-Type", "text/plain"),
@@ -246,3 +246,34 @@ def read_wet(
                     yield pd.DataFrame(recs, columns=cols)
 
     return files.select("path", "content").mapInPandas(parse, _READ_SCHEMA)
+
+
+def export_crawl_wet(
+    results: DataFrame,
+    path: str,
+    n_files: int = 8,
+    min_code: int = 200,
+    max_code: int = 299,
+    compress: bool = True,
+) -> list[str]:
+    """Export a crawl's results (``plans/crawl.py::Crawler.results_df``
+    schema: url, code, extracted ``text``, …) as WET files — the glue
+    that turns THIS engine's crawl output into the corpus container the
+    curation ops consume. Only successful fetches with extracted text
+    ship; the URL is both the Target-URI and the shard/record key, so
+    repeated exports of the same crawl are byte-identical."""
+    ok = results.filter(
+        (F.col("code") >= min_code)
+        & (F.col("code") <= max_code)
+        & F.col("text").isNotNull()
+        & (F.col("text") != "")
+    )
+    return write_wet(
+        ok,
+        path,
+        n_files=n_files,
+        text_col="text",
+        id_col="url",
+        uri_col="url",
+        compress=compress,
+    )
