@@ -1144,6 +1144,29 @@ def q_wet_roundtrip(spark, sf):
     )
 
 
+def q_text_vocab_encode(spark, sf):
+    """Vocabulary build + integer encoding (functions/text.py::
+    build_vocab / encode_tokens): top-k frequency-ranked tokens
+    (ties lexicographic; 16 here so the cap BINDS on the fixture and the
+    OOV path carries real weight), corpus re-encoded with OOV→0.
+    Output pins the ID SEQUENCE byte-exactly (md5 of the joined ids,
+    order restored through the shuffle) plus the OOV fraction; the
+    oracle rebuilds the vocabulary and the sequences relationally."""
+    from walker_spark.functions.text import build_vocab, encode_tokens
+
+    d = _t(spark, sf, "documents")
+    vocab = build_vocab(d, size=16)
+    enc = encode_tokens(d, vocab)
+    return enc.select(
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_ids"),
+        "oov_frac",
+        F.md5(
+            F.concat_ws(" ", F.transform(F.col("token_ids"), lambda x: x.cast("string")))
+        ).alias("ids_md5"),
+    ).orderBy("doc_id")
+
+
 def q_corpus_curate(spark, sf):
     """The one-call curation pipeline (walker_spark/pipeline.py::
     curate_corpus): C4-style prefilter → exact dedup (min-id winner
@@ -1420,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_model": q_text_quality_model,
         "link_pagerank": q_link_pagerank,
         "corpus_curate": q_corpus_curate,
+        "text_vocab_encode": q_text_vocab_encode,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -2541,6 +2565,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "link_pagerank": _pagerank_sql(iters=5, damping=0.85),
+        # text_vocab_encode: vocabulary + id sequences rebuilt in SQL;
+        # md5(string_agg ORDER BY pos) pins sequence content AND order.
+        "text_vocab_encode": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS token,
+                     generate_subscripts(
+                       string_split_regex(trim(text), '\s+'), 1) AS p
+              FROM documents WHERE trim(text) <> ''
+            ), cnt AS (
+              SELECT token, count(*) AS n FROM raw GROUP BY token
+            ), voc AS (
+              SELECT token,
+                     row_number() OVER (ORDER BY n DESC, token ASC) AS token_id
+              FROM cnt ORDER BY n DESC, token ASC LIMIT 16
+            ), ids AS (
+              SELECT r.doc_id, r.p,
+                     coalesce(v.token_id, 0) AS tid,
+                     CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS oov
+              FROM raw r LEFT JOIN voc v USING (token)
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_ids,
+                     sum(oov) * 1.0 / count(*) AS oov_frac,
+                     md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY p))
+                       AS ids_md5
+              FROM ids GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_ids, 0) AS BIGINT) AS n_ids,
+                   coalesce(a.oov_frac, 0.0) AS oov_frac,
+                   coalesce(a.ids_md5, md5('')) AS ids_md5
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         # corpus_curate: all three pipeline stages recomposed in order —
         # prefilter causes, min-id dedup among passers, md5-ranked cap
         # over dedup survivors.

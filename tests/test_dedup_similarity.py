@@ -844,3 +844,33 @@ def test_pack_examples_stream_fidelity(spark):
     }.items():
         assert all(r["n_tokens"] == 16 for r in rows[:-1])
         assert [r["bin"] for r in rows] == list(range(len(rows)))
+
+
+def test_vocab_encode(spark):
+    """Vocabulary ranking (count desc, token asc) and order-preserving
+    integer encoding with OOV fraction."""
+    from walker_spark.functions.text import build_vocab, encode_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (0, "b a a c b a"),     # a:3 b:2(+1 below) c:1
+            (1, "b z"),             # z:1 (rare, beyond vocab size)
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, size=3)
+    got = {r["token"]: (r["token_id"], r["n_occurrences"]) for r in vocab.collect()}
+    # counts: a=3, b=3, c=1, z=1 → ranks: a(1) b(2) by tie-break, c(3)
+    assert got == {"a": (1, 3), "b": (2, 3), "c": (3, 1)}
+
+    enc = {r["doc_id"]: r for r in encode_tokens(docs, vocab).collect()}
+    assert enc[0]["token_ids"] == [2, 1, 1, 3, 2, 1]
+    assert enc[0]["oov_frac"] == 0.0
+    assert enc[1]["token_ids"] == [2, 0]          # z → OOV id 0
+    assert abs(enc[1]["oov_frac"] - 0.5) < 1e-12
+    assert enc[2]["token_ids"] == [] and enc[2]["oov_frac"] == 0.0
+    # determinism under repartitioning
+    again = {r["doc_id"]: r["token_ids"] for r in
+             encode_tokens(docs.repartition(4), vocab).collect()}
+    assert again == {i: r["token_ids"] for i, r in enc.items()}

@@ -31,6 +31,8 @@ __all__ = [
     "mixture_weights",
     "mixture_resample",
     "quality_logit",
+    "build_vocab",
+    "encode_tokens",
     "STOPWORDS",
     "PII_PATTERNS",
     "QUALITY_LOGIT_WEIGHTS",
@@ -981,4 +983,87 @@ def pack_examples(
             ).alias("tokens"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 1024,
+    reserved: int = 1,
+) -> DataFrame:
+    """Frequency-ranked vocabulary over the corpus: the top-``size``
+    whitespace tokens get ids ``reserved .. reserved+size-1`` (rank
+    order; ties break lexicographically so the table is deterministic),
+    ids below ``reserved`` stay free for specials (0 = OOV/UNK by
+    convention in :func:`encode_tokens`).
+
+    Scale shape: one map-side-combined token count + a global top-k
+    (``TakeOrderedAndProject`` — only ``size`` rows reach the driver's
+    plan, the corpus never sorts globally). The result is small by
+    construction and meant to be broadcast by the consumer.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda s: s != F.lit(""))
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(size)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return counts.withColumn(
+        "token_id", (F.row_number().over(w) + reserved - 1).cast("long")
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Integer-encode each document against a :func:`build_vocab`
+    table: adds ``token_ids`` (array<long>, document order, OOV →
+    ``oov_id``) and ``oov_frac`` — the tokenizer step that feeds
+    :func:`pack_examples`-style materialization with model-ready ids.
+
+    Scale shape: the corpus explodes to (id, pos, token), inner-hash
+    joins the BROADCAST vocab (small by construction), and reassembles
+    per doc with one exchange on the id — order restored by
+    ``array_sort(struct(pos, id))`` exactly like pack_examples. Docs
+    with zero tokens yield an empty array, not null.
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda s: s != F.lit(""))
+    v = F.broadcast(vocab.select("token", "token_id"))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(toks).alias("__pos", "token")
+    )
+    coded = (
+        exploded.join(v, "token", "left")
+        .select(
+            id_col,
+            "__pos",
+            F.coalesce(F.col("token_id"), F.lit(int(oov_id))).alias("__tid"),
+            F.col("token_id").isNull().cast("int").alias("__oov"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__tid")))),
+                lambda s: s["__tid"],
+            ).alias("token_ids"),
+            (F.sum("__oov") / F.count(F.lit(1))).alias("oov_frac"),
+        )
+    )
+    return (
+        df.join(coded, id_col, "left")
+        .withColumn(
+            "token_ids",
+            F.coalesce(F.col("token_ids"), F.array().cast("array<bigint>")),
+        )
+        .withColumn("oov_frac", F.coalesce(F.col("oov_frac"), F.lit(0.0)))
     )
