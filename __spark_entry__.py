@@ -1144,6 +1144,25 @@ def q_wet_roundtrip(spark, sf):
     )
 
 
+def q_corpus_diff(spark, sf):
+    """Incremental-snapshot diff (pipeline.py::corpus_diff): old/new
+    corpus views derived deterministically from the documents table
+    (old drops id%10==0, new drops id%7==3 and rewrites text for
+    id%5==1), statuses by 128-bit content hash through one full-outer
+    ids+hash join. The oracle recomputes the same set algebra."""
+    from walker_spark.pipeline import corpus_diff
+
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % 10 != 0)
+    new = d.filter(F.col("doc_id") % 7 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new).orderBy("doc_id")
+
+
 def q_text_vocab_encode(spark, sf):
     """Vocabulary build + integer encoding (functions/text.py::
     build_vocab / encode_tokens): top-k frequency-ranked tokens
@@ -1444,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "corpus_curate": q_corpus_curate,
         "text_vocab_encode": q_text_vocab_encode,
+        "corpus_diff": q_corpus_diff,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -2565,6 +2585,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "link_pagerank": _pagerank_sql(iters=5, damping=0.85),
+        "corpus_diff": r"""
+            WITH old AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+            ), new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 1 THEN text || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 3
+            ), j AS (
+              SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                     md5(o.text) AS oh, md5(n.text) AS nh,
+                     (o.doc_id IS NULL) AS no_old, (n.doc_id IS NULL) AS no_new
+              FROM old o FULL OUTER JOIN new n USING (doc_id)
+            )
+            SELECT doc_id,
+                   CASE WHEN no_old THEN 'added'
+                        WHEN no_new THEN 'removed'
+                        WHEN oh <> nh THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM j ORDER BY doc_id
+        """,
         # text_vocab_encode: vocabulary + id sequences rebuilt in SQL;
         # md5(string_agg ORDER BY pos) pins sequence content AND order.
         "text_vocab_encode": r"""

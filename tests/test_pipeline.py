@@ -53,3 +53,18 @@ def test_curate_corpus_cap_and_order(spark):
     again = {r["doc_id"]: r["drop_stage"] for r in
              curate_corpus(df.repartition(5), cap_per_stratum=3).collect()}
     assert again == {i: r["drop_stage"] for i, r in out.items()}
+
+
+def test_corpus_diff(spark):
+    from walker_spark.pipeline import corpus_diff
+
+    old = spark.createDataFrame(
+        [(0, "same"), (1, "will change"), (2, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(0, "same"), (1, "changed now"), (3, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}

@@ -121,3 +121,39 @@ def test_sitemap_malformed_in_spark(spark, tmp_path):
     assert summ["junk.xml"] == 1.0
     assert all(v == 0.0 for k, v in summ.items() if k != "junk.xml")
     assert out.filter(F.col("kind") == "url").count() == 11  # 10 + junk's prefix
+
+
+def test_seeds_from_robots(spark, tmp_path):
+    """REP Sitemap: directives in robots.txt drive seed expansion; the
+    robots PARSER carries them (cross-group field) and rule parsing is
+    unaffected."""
+    from walker_spark.functions.robots import parse_robots
+    from walker_spark.sources.sitemap import seeds_from_robots
+
+    d = spark.createDataFrame(
+        [
+            (0, "a.example", "https://a.example/p/1"),
+            (1, "a.example", "https://a.example/p/2"),
+            (2, "b.example", "https://b.example/q/1"),
+        ],
+        "doc_id long, host string, loc string",
+    )
+    files = write_sitemaps(d, str(tmp_path / "sm"), loc_col="loc", group_col="host")
+    by_host = {f.rsplit("sitemap-", 1)[1].split(".xml")[0]: f for f in files[:-1]}
+    robots = {
+        "a.example": (
+            "User-agent: *\nDisallow: /private/\n"
+            f"Sitemap: file://{by_host['a.example']}\n"
+        ),
+        "b.example": f"Sitemap: {by_host['b.example']}\n",  # bare path form
+        "c.example": "User-agent: *\nDisallow:\n",          # no sitemap
+    }
+    rd = parse_robots(robots["a.example"])
+    assert rd.sitemaps == [f"file://{by_host['a.example']}"]
+    assert not rd.find_group("walker").test("/private/x")   # rules still parse
+    seeds = {(r["url"], r["host"]) for r in seeds_from_robots(spark, robots).collect()}
+    assert seeds == {
+        ("https://a.example/p/1", "a.example"),
+        ("https://a.example/p/2", "a.example"),
+        ("https://b.example/q/1", "b.example"),
+    }

@@ -83,6 +83,10 @@ _EMPTY_GROUP = RobotsGroup()
 @dataclass
 class RobotsData:
     groups: list[RobotsGroup] = field(default_factory=list)
+    # REP: Sitemap is a cross-group field (sitemaps.org/protocol.html
+    # §"Informing search engine crawlers"); order preserved, case kept
+    # (URLs are case-sensitive past the host).
+    sitemaps: list[str] = field(default_factory=list)
 
     def find_group(self, agent: str) -> RobotsGroup:
         """Longest user-agent token prefix-matching ``agent``; ``*``
@@ -127,6 +131,10 @@ def parse_robots(body: str) -> RobotsData:
             if group is None:
                 continue  # rules before any user-agent line are ignored
             group.rules.append(Rule(allow=(key == "allow"), pattern=val))
+        elif key == "sitemap":
+            last_was_agent = False
+            if val:
+                data.sitemaps.append(val)
         else:
             last_was_agent = False
     return data

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["curate_corpus"]
+__all__ = ["curate_corpus", "corpus_diff"]
 
 
 def curate_corpus(
@@ -117,3 +117,35 @@ def curate_corpus(
         .withColumn("kept", F.col("drop_stage") == "")
         .drop("__th", "__is_win", "__kept_id", "drop_cause")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the bookkeeping step
+    of an INCREMENTAL pipeline (recrawl → diff → re-curate only the
+    churn, never the full 100 TB): per id, ``status`` ∈ {added,
+    removed, changed, unchanged} by 128-bit content hash.
+
+    Scale shape: both sides reduce to (id, md5) projections before the
+    single full-outer hash join — the text never moves; downstream
+    stages filter ``status != 'unchanged'`` and join back by id against
+    the new snapshot only.
+    """
+    o = old.select(
+        F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__oh")
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__nh")
+    )
+    j = o.join(n, "__id", "full_outer")
+    status = (
+        F.when(F.col("__oh").isNull(), F.lit("added"))
+        .when(F.col("__nh").isNull(), F.lit("removed"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col("__id").alias(id_col), status.alias("status"))

@@ -30,7 +30,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_sitemaps", "read_sitemaps", "sitemap_seeds"]
+__all__ = [
+    "write_sitemaps",
+    "read_sitemaps",
+    "sitemap_seeds",
+    "sitemaps_from_robots",
+    "seeds_from_robots",
+]
 
 _NS = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
 MAX_ENTRIES = 50_000  # spec limit, also the bomb guard
@@ -231,3 +237,36 @@ def sitemap_seeds(parsed: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("host", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
     )
+
+
+def sitemaps_from_robots(robots_bodies: dict[str, str]) -> dict[str, list[str]]:
+    """Extract each host's declared Sitemap URLs from its robots.txt
+    (REP cross-group ``Sitemap:`` field — parsed by the same
+    functions/robots.py parser the crawl's gating uses)."""
+    from ..functions.robots import parse_robots
+
+    out: dict[str, list[str]] = {}
+    for host, body in (robots_bodies or {}).items():
+        sms = parse_robots(body or "").sitemaps
+        if sms:
+            out[host] = sms
+    return out
+
+
+def seeds_from_robots(
+    spark: SparkSession, robots_bodies: dict[str, str]
+) -> DataFrame:
+    """Sitemap-driven seed expansion: read every sitemap the hosts'
+    robots.txt declare (``file://``/local paths in this sandbox; on a
+    real crawl the fetch tier materializes them first) and return the
+    canonicalized (url, host) seed frame for the crawler's frontier.
+    Hosts without a Sitemap line contribute nothing; unreadable files
+    surface as parse-summary rows, not failures."""
+    locs: list[str] = []
+    for sms in sitemaps_from_robots(robots_bodies).values():
+        for u in sms:
+            locs.append(u[7:] if u.startswith("file://") else u)
+    if not locs:
+        return spark.createDataFrame([], "url string, host string")
+    parsed = read_sitemaps(spark, locs)
+    return sitemap_seeds(parsed)
