@@ -874,3 +874,33 @@ def test_vocab_encode(spark):
     again = {r["doc_id"]: r["token_ids"] for r in
              encode_tokens(docs.repartition(4), vocab).collect()}
     assert again == {i: r["token_ids"] for i, r in enc.items()}
+
+
+def test_pq_shortlist_recall_and_determinism(spark):
+    """Flat PQ-ADC: the top-50 shortlist holds most of the exact top-10
+    (re-rank composes downstream), and the quantized k-medians training
+    makes results invariant to input partitioning."""
+    import pyspark.sql.functions as F
+
+    from walker_spark.operators.similarity import cosine_topk, pq_cosine_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(e, q, k=10).collect()
+    }
+    short = pq_cosine_topk(e, q, k=50, m=8, ks=64, train_iters=1).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in short}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, recall
+    # scores are valid cosines of unit vectors; ranks well-formed
+    assert all(-1.0001 <= r["approx_score"] <= 1.0001 for r in short)
+    per_q = {}
+    for r in short:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 51)) for v in per_q.values())
+    # deterministic under repartitioning (training included)
+    again = pq_cosine_topk(e.repartition(7), q, k=50, m=8, ks=64, train_iters=1).collect()
+    assert {(r["query_id"], r["neighbor_id"], r["approx_score"], r["rank"]) for r in short} == {
+        (r["query_id"], r["neighbor_id"], r["approx_score"], r["rank"]) for r in again
+    }

@@ -29,6 +29,7 @@ __all__ = [
     "cosine_topk",
     "lsh_cosine_topk",
     "ivf_cosine_topk",
+    "pq_cosine_topk",
     "embedding_near_dup_pairs",
 ]
 
@@ -469,4 +470,153 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    ks: int = 16,
+    train_iters: int = 1,
+    include_self: bool = False,
+) -> DataFrame:
+    """Flat Product-Quantization ANN with ADC scoring (Jégou et al.
+    2011, the public construction): vectors are L2-normalized, split
+    into ``m`` subspaces, each subvector coded against a per-subspace
+    ``ks``-entry codebook; a query scores a corpus vector as the SUM of
+    codeword dot products — ``m`` lookups instead of a ``dim``-wide
+    dot, and the corpus lives as ``m`` small codes (a 64-dim float
+    corpus compresses ~128× at m=2/ks=16, which is what lets 10^10
+    embeddings sit in memory for the scan).
+
+    Codebook training is ``train_iters`` rounds of assign → per-dim
+    MEDIAN update (k-medians, not k-means, on purpose: a median is
+    order-independent where a float mean's summation order is not, so
+    with centroids quantized to 9 decimals the whole trained codebook —
+    and therefore every code and every ADC score — is reproducible
+    bit-for-bit on another engine; the text_mixture/pagerank numerics
+    discipline applied to vector quantization). Init = the subvectors
+    of the first ``ks`` corpus ids.
+
+    Returns (query_id, neighbor_id, approx_score rounded to 4, rank);
+    rank orders by (rounded score desc, neighbor id) so FP dust cannot
+    reorder. Exact re-ranking composes downstream (feed the top-k' ids
+    to cosine_topk) exactly like the IVF probe path.
+
+    Scale shape: training touches only subvector projections (ids
+    never shuffle with full vectors beyond the groupBy(code) median);
+    encoding is one numpy pass per Arrow batch; scoring broadcasts the
+    (tiny) query LUTs against the code table — the corpus crosses zero
+    exchanges after encoding. Flat-ADC scans all codes by design; the
+    cell-pruned variant is :func:`ivf_cosine_topk`'s skeleton with this
+    encoder inside.
+    """
+    dim = _probe_dim(corpus, vec_col)
+    if dim is None:
+        return cosine_topk(corpus, queries, k, id_col, vec_col, include_self)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    # cast to double BEFORE any arithmetic: float32 partials would land
+    # ~1e-7 off the oracle's double math — far above the 1e-9 centroid
+    # quantum (the ann_* oracles tolerate it only because they round to 4)
+    dvec = F.col(vec_col).cast("array<double>")
+    unit = F.transform(dvec, lambda x: x / norm_expr(dvec))
+    c = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .filter(norm_expr(dvec) > 0)
+        .select(F.col(id_col).alias("neighbor_id"), unit.alias("u"))
+    )
+
+    # init: subvectors of the first ks ids (deterministic, like IVF)
+    init_rows = c.orderBy("neighbor_id").limit(ks).collect()
+    ks_eff = min(ks, len(init_rows))
+    books = [
+        np.array([[float(x) for x in r["u"][s * dsub:(s + 1) * dsub]] for r in init_rows[:ks_eff]])
+        for s in range(m)
+    ]
+
+    def _q9(a: np.ndarray) -> np.ndarray:
+        return np.floor(a * 1e9 + 0.5) / 1e9  # half-away, cross-engine
+
+    def _codes_udf(books_now: list[np.ndarray]):
+        B = [b.copy() for b in books_now]
+
+        @pandas_udf("array<int>")
+        def codes(us: pd.Series) -> pd.Series:
+            if len(us) == 0:
+                return pd.Series([], dtype=object)
+            V = np.vstack(us.to_numpy())
+            out = np.empty((len(V), m), dtype=np.int32)
+            for s in range(m):
+                sub = V[:, s * dsub:(s + 1) * dsub]
+                # argmin L2; numpy argmin takes the FIRST minimum = the
+                # lowest code index, same as the SQL row_number tiebreak
+                d2 = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                out[:, s] = np.argmin(d2, axis=1)
+            return pd.Series(list(out))
+
+        return codes
+
+    for _ in range(int(train_iters)):
+        assigned = c.withColumn("code", _codes_udf(books)(F.col("u")))
+        new_books = []
+        for s in range(m):
+            meds = (
+                assigned.groupBy(F.col("code")[s].alias("cs"))
+                .agg(*[
+                    F.round(F.median(F.col("u")[s * dsub + i]), 9).alias(f"d{i}")
+                    for i in range(dsub)
+                ])
+                .collect()
+            )
+            by_code = {r["cs"]: [float(r[f"d{i}"]) for i in range(dsub)] for r in meds}
+            new_books.append(
+                np.array([by_code.get(ci, list(books[s][ci])) for ci in range(ks_eff)])
+            )
+        books = new_books
+
+    coded = c.withColumn("code", _codes_udf(books)(F.col("u")))
+
+    qdf = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .filter(norm_expr(F.col(vec_col)) > 0)
+        .select(F.col(id_col).alias("query_id"), unit.alias("qu"))
+    )
+
+    def _adc_udf(books_now: list[np.ndarray]):
+        B = [b.copy() for b in books_now]
+
+        @pandas_udf("double")
+        def adc(qus: pd.Series, codes: pd.Series) -> pd.Series:
+            if len(qus) == 0:
+                return pd.Series([], dtype="float64")
+            Q = np.vstack(qus.to_numpy())
+            C = np.vstack(codes.to_numpy()).astype(np.int64)
+            total = np.zeros(len(Q))
+            for s in range(m):
+                lut = Q[:, s * dsub:(s + 1) * dsub] @ B[s].T  # (rows, ks)
+                total += lut[np.arange(len(Q)), C[:, s]]
+            return pd.Series(total)
+
+        return adc
+
+    pairs = qdf.crossJoin(coded)
+    if not include_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "approx_score", F.round(_adc_udf(books)(F.col("qu"), F.col("code")), 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_score", "rank")
     )
