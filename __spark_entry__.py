@@ -1037,6 +1037,20 @@ def q_text_top_ngrams(spark, sf):
     return top_ngrams(_t(spark, sf, "documents"), n=3, k=20)
 
 
+def q_text_tfidf_keywords(spark, sf):
+    """Per-doc top-5 TF-IDF keywords (functions/text.py::tfidf_keywords,
+    smoothed sklearn idf): tokenize natively, (id, token) pairs only
+    through two groupBys + one window — the text column crosses zero
+    exchanges. The oracle re-derives tf, df, N, the ln-based idf, and
+    the rank cut relationally; 12/6-decimal quantization makes the
+    float trajectory engine-exact."""
+    from walker_spark.functions.text import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf, "documents"), k=5).orderBy(
+        "doc_id", "rank"
+    )
+
+
 def q_text_repetition(spark, sf):
     """Gopher-style intra-doc repetition signals (functions/text.py::
     repetition_metrics, one O(tokens) Arrow-batched counter pass): dup
@@ -1551,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "embedding_dedup_survivors": q_embedding_dedup_survivors,
         "text_top_ngrams": q_text_top_ngrams,
+        "text_tfidf_keywords": q_text_tfidf_keywords,
         "text_repetition": q_text_repetition,
         "text_decontaminate": q_text_decontaminate,
         "text_pii_scrub": q_text_pii_scrub,
@@ -2359,6 +2374,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, count(*) AS n_occurrences
             FROM g GROUP BY ngram
             ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
+        """,
+        # text_tfidf_keywords: tf/df/N and the smoothed ln idf all
+        # re-derived in SQL; idf rounded to 12 decimals, score to 6,
+        # rank on the rounded score — identical quantization on both
+        # sides makes the ln() trajectory engine-exact.
+        "text_tfidf_keywords": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\W+')) AS token
+              FROM documents
+            ), pairs AS (
+              SELECT doc_id, token FROM raw WHERE token <> ''
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM pairs GROUP BY doc_id, token
+            ), docfreq AS (
+              SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), nn AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf,
+                     round(tf.tf * round(
+                       ln(((SELECT n FROM nn) + 1e0) / (docfreq.df + 1e0))
+                       + 1e0, 12), 6) AS score
+              FROM tf JOIN docfreq USING (token)
+            ), ranked AS (
+              SELECT doc_id, token, tf, score,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, token ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, rank, token, tf, score
+            FROM ranked WHERE rank <= 5
+            ORDER BY doc_id, rank
         """,
         # text_repetition: the Spark side counts lines/grams in one
         # Python hash-map pass; the oracle re-derives every signal

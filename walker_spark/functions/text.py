@@ -22,6 +22,7 @@ __all__ = [
     "corpus_quality_rollup",
     "stratified_sample",
     "top_ngrams",
+    "tfidf_keywords",
     "repetition_metrics",
     "decontaminate",
     "pii_scrub",
@@ -311,6 +312,62 @@ def top_ngrams(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(k)
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` keywords by smoothed TF-IDF — the keyword /
+    topic-signal extraction pass of a text pipeline (and the standard
+    lexical retrieval weighting).
+
+    ``idf = ln((N + 1) / (df + 1)) + 1`` (sklearn's smoothed variant, a
+    public formula), ``score = tf * idf``. The idf is rounded to 12
+    decimals and the score to 6 so the result is bit-stable across
+    engines (``ln`` differs by ≤1 ulp between libms); ranking uses the
+    rounded score with lexicographic token tie-break, making the top-k
+    cut fully deterministic.
+
+    Scale shape: after the native tokenize, only (id, token) pairs move —
+    one groupBy for per-doc term frequencies, one token-keyed groupBy for
+    document frequencies (vocabulary-sized, AQE broadcasts the join back
+    when small), the corpus size N as a broadcast single-row cross join
+    (never a driver collect), and one id-partitioned window for the
+    top-k. The text column itself crosses zero exchanges.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda s: s != F.lit("")
+    )
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    tf = pairs.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    idf = F.round(
+        F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        + F.lit(1.0),
+        12,
+    ).alias("idf")
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", F.col("tf").cast("long").alias("tf"), "score")
     )
 
 
