@@ -1365,6 +1365,55 @@ def q_link_pagerank(spark, sf):
     )
 
 
+def q_link_anchor_rollup(spark, sf):
+    """Anchor-text aggregation per target page (operators/graph.py::
+    anchor_text_rollup) — inbound-link text as a target-page signal,
+    over the SAME documents-derived edge set as link_pagerank. Each
+    link's anchor is derived from the TARGET doc's leading tokens
+    (1 or 2 of them by source parity, so targets accumulate duplicate
+    anchors from different sources); the oracle recomputes the edge
+    set, the anchors, and the deterministic top-3 cut relationally."""
+    from pyspark.sql import Window
+
+    from walker_spark.operators.graph import anchor_text_rollup
+
+    d = _t(spark, sf, "documents")
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    base = d.select("doc_id", "source", rn.alias("rn"))
+    a = (
+        base.filter(F.col("doc_id") % 7 < 4)
+        .select(
+            "source",
+            F.col("doc_id").alias("s"),
+            "rn",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select("source", "s", (F.col("rn") + F.col("k")).alias("rn_t"))
+    )
+    edges = a.join(
+        base.select("source", F.col("rn").alias("rn_t"), F.col("doc_id").alias("t")),
+        ["source", "rn_t"],
+    ).select("s", "t")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != F.lit(""))
+    tgt = d.select(F.col("doc_id").alias("t"), toks.alias("toks"))
+    links = edges.join(tgt, "t").select(
+        F.col("t").alias("target_id"),
+        F.when(F.col("s") % 2 == 0, F.get("toks", 0))
+        .otherwise(F.concat_ws(" ", F.get("toks", 0), F.get("toks", 1)))
+        .alias("anchor"),
+    )
+    return (
+        anchor_text_rollup(links, target_col="target_id", k=3)
+        .select(
+            "target_id",
+            F.col("n_inlinks").cast("long").alias("n_inlinks"),
+            F.col("n_unique_anchors").cast("long").alias("n_unique_anchors"),
+            "top_anchors",
+        )
+        .orderBy("target_id")
+    )
+
+
 def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
     """Unrolled PageRank oracle: every float constant emitted as a
     %.17e DOUBLE literal so DuckDB's decimal literal typing cannot
@@ -1579,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_roundtrip": q_sitemap_roundtrip,
         "text_quality_model": q_text_quality_model,
         "link_pagerank": q_link_pagerank,
+        "link_anchor_rollup": q_link_anchor_rollup,
         "corpus_curate": q_corpus_curate,
         "text_vocab_encode": q_text_vocab_encode,
         "corpus_diff": q_corpus_diff,
@@ -2738,6 +2788,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "link_pagerank": _pagerank_sql(iters=5, damping=0.85),
+        # link_anchor_rollup: edge set + anchors + top-3 cut all
+        # re-derived relationally (same dd/edges CTEs as pagerank's
+        # oracle; DuckDB lists are 1-indexed where F.get is 0-based,
+        # and both engines' concat_ws skips the NULL second token).
+        "link_anchor_rollup": r"""
+            WITH dd AS (
+              SELECT doc_id, source, row_number() OVER
+                (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            ), edges AS (
+              SELECT a.doc_id AS s, b.doc_id AS t FROM dd a JOIN dd b
+              ON a.source = b.source AND b.rn BETWEEN a.rn + 1 AND a.rn + 3
+              WHERE a.doc_id % 7 < 4
+            ), tt AS (
+              SELECT doc_id AS t,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), links AS (
+              SELECT e.t AS target_id,
+                     CASE WHEN e.s % 2 = 0 THEN toks[1]
+                          ELSE concat_ws(' ', toks[1], toks[2]) END AS anchor
+              FROM edges e JOIN tt ON tt.t = e.t
+            ), cnt AS (
+              SELECT target_id, anchor, count(*) AS cnt
+              FROM links GROUP BY target_id, anchor
+            ), tot AS (
+              SELECT target_id, CAST(sum(cnt) AS BIGINT) AS n_inlinks,
+                     CAST(count(*) AS BIGINT) AS n_unique_anchors
+              FROM cnt GROUP BY target_id
+            ), rk AS (
+              SELECT target_id, anchor, row_number() OVER
+                (PARTITION BY target_id ORDER BY cnt DESC, anchor ASC) AS rk
+              FROM cnt
+            )
+            SELECT t.target_id, t.n_inlinks, t.n_unique_anchors,
+                   string_agg(r.anchor, '|' ORDER BY r.rk) AS top_anchors
+            FROM tot t JOIN rk r USING (target_id) WHERE r.rk <= 3
+            GROUP BY t.target_id, t.n_inlinks, t.n_unique_anchors
+            ORDER BY target_id
+        """,
         "corpus_diff": r"""
             WITH old AS (
               SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0

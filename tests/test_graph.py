@@ -56,3 +56,58 @@ def test_pagerank_edge_derived_nodes_and_empty(spark):
     assert abs(got[1] - 0.5) < 1e-6
     empty = spark.createDataFrame([], "s long, t long")
     assert pagerank(empty, iterations=2).collect() == []
+
+
+def test_extract_anchor_texts_and_rollup(spark):
+    from walker_spark.functions.extract import extract_anchor_texts
+    from walker_spark.operators.graph import anchor_rollup_from_pages
+
+    html = (
+        "<html><body>"
+        '<a href="/a">First  Link</a>'
+        '<a href="/b"><b>bold</b> text</a>'
+        '<a href="/a">First Link</a>'
+        '<a href="">empty href skipped</a>'
+        '<a href="/c">unclosed <a href="/d">next closes prev</a>'
+        "<noscript><a href='/n'>ns</a></noscript>"
+        "</body></html>"
+    )
+    pairs = extract_anchor_texts(html)
+    assert ("/a", "First Link") in pairs
+    assert pairs.count(("/a", "First Link")) == 2
+    assert ("/b", "bold text") in pairs  # nested markup, collapsed ws
+    assert ("/c", "unclosed") in pairs  # implicit close on new <a>
+    assert ("/d", "next closes prev") in pairs
+    assert not any(h == "" for h, _ in pairs)
+
+    # absolute normalization against the page URL
+    norm = extract_anchor_texts(html, base_url="https://Ex.com/x/page#frag")
+    assert ("https://Ex.com/a", "First Link") in norm
+
+    pages = spark.createDataFrame(
+        [
+            ("https://h.example/p1", html.encode()),
+            ("https://h.example/p2", b'<a href="/a">First Link</a>'),
+        ],
+        "url string, html binary",
+    )
+    out = {
+        r["target_id"] if "target_id" in r.asDict() else r["target"]: r
+        for r in anchor_rollup_from_pages(pages, k=2).collect()
+    }
+    a = out["https://h.example/a"]
+    assert a["n_inlinks"] == 3 and a["n_unique_anchors"] == 1
+    assert a["top_anchors"] == "First Link"
+
+
+def test_anchor_rollup_topk_determinism(spark):
+    from walker_spark.operators.graph import anchor_text_rollup
+
+    links = spark.createDataFrame(
+        [("t", "b"), ("t", "a"), ("t", "c"), ("t", "c")],
+        "target string, anchor string",
+    )
+    row = anchor_text_rollup(links, k=2).collect()[0]
+    # c wins on count; a/b tie on count=1 -> lexicographic 'a'
+    assert row["top_anchors"] == "c|a"
+    assert row["n_inlinks"] == 4 and row["n_unique_anchors"] == 3

@@ -35,6 +35,7 @@ __all__ = [
     "TRIM_CHARS",
     "trim_text",
     "extract_links",
+    "extract_anchor_texts",
     "extract_structure",
     "extract_page",
     "extract_text",
@@ -276,6 +277,71 @@ def _structure_from_doc(d: _Doc) -> dict:
 def extract_page(html: str) -> tuple[dict[str, int], dict]:
     """(links, structure) in one parse-amortized call."""
     return extract_links(html), extract_structure(html)
+
+
+class _AnchorTextCollector(HTMLParser):
+    """(href, visible text) per ``<a href>`` — NOT a reference op
+    (walker counts hrefs only, ``scrape.go:159-190``); this feeds the
+    anchor-text corpus rollup (:func:`walker_spark.operators.graph.
+    anchor_text_rollup`). A new ``<a>`` implicitly closes an open one
+    (HTML forbids nesting; real parsers auto-close)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pairs: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.pairs.append(
+                (self._href, " ".join("".join(self._buf).split()))
+            )
+        self._href = None
+        self._buf = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self._flush()
+            for k, v in attrs:
+                if k == "href" and v:
+                    self._href = v
+                    break
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data):
+        if self._href is not None:
+            self._buf.append(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def extract_anchor_texts(html: str, base_url: str | None = None) -> list[tuple[str, str]]:
+    """Every ``(target, anchor_text)`` pair in document order. With
+    ``base_url``, hrefs are resolved/normalized via
+    :func:`walker_spark.urlnorm.normalize_link` (unparseable links
+    dropped, matching the crawl's silent-drop semantics)."""
+    p = _AnchorTextCollector()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    if base_url is None:
+        return p.pairs
+    from ..urlnorm import normalize_link
+
+    out = []
+    for href, text in p.pairs:
+        n = normalize_link(base_url, href)
+        if n is not None:
+            out.append((n, text))
+    return out
 
 
 def extract_all(html: str) -> tuple[dict[str, int], dict, str]:

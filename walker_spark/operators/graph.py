@@ -27,10 +27,11 @@ Scale shape per iteration (the standard distributed PageRank plan):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "anchor_text_rollup", "anchor_rollup_from_pages"]
 
 _Q = 12  # intermediate quantization decimals (see module docstring)
 
@@ -106,3 +107,97 @@ def pagerank(
     out = ranks.select(F.col("__id").alias(id_col), F.round("__r", 6).alias("rank"))
     v.unpersist()
     return out
+
+
+def anchor_text_rollup(
+    links: DataFrame,
+    target_col: str = "target",
+    anchor_col: str = "anchor",
+    k: int = 3,
+) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-corpus
+    signal that inbound link text describes the TARGET page better
+    than its own content (used for retrieval training sets and as a
+    crawl-priority hint). Input is one row per (source→target) link
+    with its visible anchor text; output per target:
+
+    * ``n_inlinks`` — total inbound links,
+    * ``n_unique_anchors`` — distinct anchor strings,
+    * ``top_anchors`` — the ``k`` most frequent anchors, '|'-joined,
+      ties broken lexicographically (fully deterministic cut).
+
+    Scale shape: one (target, anchor) map-side-combined groupBy, then
+    the per-target rank + totals computed in a SINGLE hash exchange on
+    target (two window specs over the same partitioning chain without
+    re-shuffling), then a target-keyed groupBy that Spark satisfies
+    from the same partitioning. Anchor strings are short; the html
+    they came from never enters this plan.
+    """
+    from pyspark.sql import Window
+
+    cnt = links.groupBy(target_col, anchor_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    part = Window.partitionBy(target_col)
+    ranked = cnt.select(
+        target_col,
+        anchor_col,
+        "cnt",
+        F.row_number()
+        .over(part.orderBy(F.desc("cnt"), F.asc(anchor_col)))
+        .alias("rk"),
+        F.sum("cnt").over(part).alias("n_inlinks"),
+        F.count(F.lit(1)).over(part).alias("n_unique_anchors"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= k)
+        .groupBy(target_col)
+        .agg(
+            F.first("n_inlinks").alias("n_inlinks"),
+            F.first("n_unique_anchors").alias("n_unique_anchors"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", anchor_col))),
+                    lambda s: s[anchor_col],
+                ),
+                "|",
+            ).alias("top_anchors"),
+        )
+    )
+
+
+def anchor_rollup_from_pages(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    k: int = 3,
+) -> DataFrame:
+    """Glue: crawled pages → anchor-text rollup. Extracts (target,
+    anchor) pairs with an Arrow-batched pandas UDF (hrefs normalized
+    against each page's own URL), explodes, and rolls up. The html
+    column is consumed in the scan stage and never shuffled."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.extract import extract_anchor_texts
+
+    @pandas_udf("array<struct<target:string,anchor:string>>")
+    def pairs_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+        out = []
+        for h, u in zip(html, url):
+            if h is None:
+                out.append([])
+                continue
+            if isinstance(h, (bytes, bytearray)):
+                h = bytes(h).decode("utf-8", "replace")
+            out.append(
+                [
+                    {"target": t, "anchor": a}
+                    for t, a in extract_anchor_texts(h, base_url=u)
+                ]
+            )
+        return pd.Series(out)
+
+    pairs = pages.select(
+        F.explode(pairs_udf(F.col(html_col), F.col(url_col))).alias("p")
+    ).select(F.col("p.target").alias("target"), F.col("p.anchor").alias("anchor"))
+    return anchor_text_rollup(pairs, k=k)
