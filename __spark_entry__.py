@@ -1365,6 +1365,36 @@ def q_link_pagerank(spark, sf):
     )
 
 
+def q_cdx_index(spark, sf):
+    """CDX(J) capture-index rows (sources/cdx.py::cdx_records): SURT
+    key (reversed lowercased host labels, default ports stripped,
+    fragment dropped, query params sorted) + timestamp + md5 digest +
+    byte length, globally ordered — the cc-index artifact of a crawl.
+    The fixture synthesizes deliberately messy URLs (upper-case scheme/
+    host, :80 / :8080 ports, unsorted query, fragments) from documents;
+    the oracle rebuilds the whole SURT transform relationally."""
+    from walker_spark.sources.cdx import cdx_records
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(did % 5 == 0, F.lit(":80"))
+        .when(did % 7 == 0, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        did.cast("string"),
+        F.when(did % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+    ts = F.timestamp_seconds(F.lit(1700000000).cast("long") + did * 61)
+    fixture = d.select(url.alias("url"), ts.alias("warc_ts"), "text")
+    return cdx_records(fixture)
+
+
 def q_link_anchor_rollup(spark, sf):
     """Anchor-text aggregation per target page (operators/graph.py::
     anchor_text_rollup) — inbound-link text as a target-page signal,
@@ -1629,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_model": q_text_quality_model,
         "link_pagerank": q_link_pagerank,
         "link_anchor_rollup": q_link_anchor_rollup,
+        "cdx_index": q_cdx_index,
         "corpus_curate": q_corpus_curate,
         "text_vocab_encode": q_text_vocab_encode,
         "corpus_diff": q_corpus_diff,
@@ -2788,6 +2819,65 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "link_pagerank": _pagerank_sql(iters=5, damping=0.85),
+        # cdx_index: the full SURT transform re-derived relationally
+        # (DuckDB regexp_replace is first-match-only but every pattern
+        # here is anchored; strftime/date_format both render in the
+        # session/system timezone so the ts strings agree; md5 of the
+        # ASCII payload and strlen == octet_length on both engines).
+        "cdx_index": r"""
+            WITH d AS (
+              SELECT doc_id, text,
+                     'HTTP://'
+                     || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+                     || source || '.Example.COM'
+                     || CASE WHEN doc_id % 5 = 0 THEN ':80'
+                             WHEN doc_id % 7 = 0 THEN ':8080'
+                             ELSE '' END
+                     || '/Docs/' || doc_id
+                     || CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN '#Frag' ELSE '' END
+                       AS url,
+                     to_timestamp(1700000000 + doc_id * 61) AS tsz
+              FROM documents
+            ), s AS (
+              SELECT url, tsz, text,
+                     regexp_replace(url, '#.*$', '') AS u
+              FROM d
+            ), p AS (
+              SELECT url, tsz, text,
+                     regexp_replace(
+                       lower(regexp_extract(u,
+                         '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)',
+                         1)),
+                       ':(80|443)$', '') AS host,
+                     lower(regexp_replace(u,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')) AS rest
+              FROM s
+            ), k AS (
+              SELECT url, tsz, text,
+                     array_to_string(list_reverse(string_split(
+                       regexp_replace(host, ':[0-9]+$', ''), '.')), ',')
+                     || regexp_extract(host, '(:[0-9]+)$', 1)
+                     || ')'
+                     || CASE WHEN regexp_replace(rest, '\?.*$', '') = ''
+                             THEN '/'
+                             ELSE regexp_replace(rest, '\?.*$', '') END
+                     || CASE WHEN position('?' IN rest) > 0
+                             THEN '?' || array_to_string(
+                                    list_sort(string_split(
+                                      regexp_replace(rest, '^[^?]*\?', ''),
+                                      '&')), '&')
+                             ELSE '' END AS surt
+              FROM p
+            )
+            SELECT surt,
+                   strftime(tsz, '%Y%m%d%H%M%S') AS ts,
+                   url,
+                   md5(text) AS digest,
+                   CAST(strlen(text) AS BIGINT) AS length
+            FROM k
+            ORDER BY surt, ts, url
+        """,
         # link_anchor_rollup: edge set + anchors + top-3 cut all
         # re-derived relationally (same dd/edges CTEs as pagerank's
         # oracle; DuckDB lists are 1-indexed where F.get is 0-based,
