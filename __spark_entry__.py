@@ -1365,6 +1365,30 @@ def q_link_pagerank(spark, sf):
     )
 
 
+def q_recrawl_schedule(spark, sf):
+    """Adaptive revisit scheduling (pipeline.py::recrawl_schedule):
+    per-page Laplace-smoothed change rate over 6 observed crawl rounds
+    → power-of-two revisit interval + due round, all INTEGER arithmetic
+    (engine-exact by construction). The fixture synthesizes the
+    (page, round, changed) history with pure modular arithmetic —
+    doc_id%5 sets each page's change propensity — replicated verbatim
+    in the oracle."""
+    from walker_spark.pipeline import recrawl_schedule
+
+    d = _t(spark, sf, "documents")
+    hist = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.lit(6))).alias("round")
+    ).select(
+        "doc_id",
+        "round",
+        (
+            (F.col("doc_id") * 31 + F.col("round") * 17) % 10
+            < F.col("doc_id") % 5
+        ).alias("changed"),
+    )
+    return recrawl_schedule(hist, max_interval=8).orderBy("doc_id")
+
+
 def q_cdx_index(spark, sf):
     """CDX(J) capture-index rows (sources/cdx.py::cdx_records): SURT
     key (reversed lowercased host labels, default ports stripped,
@@ -1660,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "link_anchor_rollup": q_link_anchor_rollup,
         "cdx_index": q_cdx_index,
+        "recrawl_schedule": q_recrawl_schedule,
         "corpus_curate": q_corpus_curate,
         "text_vocab_encode": q_text_vocab_encode,
         "corpus_diff": q_corpus_diff,
@@ -2819,6 +2844,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "link_pagerank": _pagerank_sql(iters=5, damping=0.85),
+        # recrawl_schedule: integer arithmetic end to end — `//` is
+        # DuckDB's integer division (Spark side uses `div`); the
+        # power-of-two clamp is the same CASE chain.
+        "recrawl_schedule": r"""
+            WITH hist AS (
+              SELECT doc_id, r.round,
+                     ((doc_id * 31 + r.round * 17) % 10) < (doc_id % 5)
+                       AS changed
+              FROM documents, (SELECT unnest(range(1, 7)) AS round) r
+            ), agg AS (
+              SELECT doc_id,
+                     count(*) AS n_obs,
+                     sum(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changes,
+                     max(round) AS last_round
+              FROM hist GROUP BY doc_id
+            ), iv AS (
+              SELECT doc_id, n_obs, n_changes, last_round,
+                     CASE WHEN (n_obs + 2) // (n_changes + 1) >= 8 THEN 8
+                          WHEN (n_obs + 2) // (n_changes + 1) >= 4 THEN 4
+                          WHEN (n_obs + 2) // (n_changes + 1) >= 2 THEN 2
+                          ELSE 1 END AS revisit_interval
+              FROM agg
+            )
+            SELECT doc_id,
+                   CAST(n_obs AS BIGINT) AS n_obs,
+                   CAST(n_changes AS BIGINT) AS n_changes,
+                   round((n_changes + 1e0) / (n_obs + 2e0), 6) AS change_rate,
+                   CAST(revisit_interval AS BIGINT) AS revisit_interval,
+                   CAST(last_round + revisit_interval AS BIGINT) AS due_round
+            FROM iv ORDER BY doc_id
+        """,
         # cdx_index: the full SURT transform re-derived relationally
         # (DuckDB regexp_replace is first-match-only but every pattern
         # here is anchored; strftime/date_format both render in the

@@ -68,3 +68,43 @@ def test_corpus_diff(spark):
     )
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
+
+
+def test_recrawl_schedule_semantics(spark):
+    from walker_spark.pipeline import recrawl_schedule
+
+    # page 1 never changes, page 2 changes every round, page 3 once
+    hist = spark.createDataFrame(
+        [(p, r, ch) for p, flags in [(1, [0] * 6), (2, [1] * 6), (3, [0, 0, 1, 0, 0, 0])]
+         for r, ch in enumerate(flags, start=1)],
+        "doc_id long, round long, changed int",
+    ).withColumn("changed", F.col("changed").cast("boolean"))
+    out = {r["doc_id"]: r for r in recrawl_schedule(hist, max_interval=64).collect()}
+    # never changed: (6+2) div (0+1) = 8 -> interval 8, due 6+8
+    assert out[1]["revisit_interval"] == 8 and out[1]["due_round"] == 14
+    # always changed: (8) div (7) = 1 -> min interval
+    assert out[2]["revisit_interval"] == 1 and out[2]["due_round"] == 7
+    # one change: 8 div 2 = 4
+    assert out[3]["revisit_interval"] == 4
+    assert abs(out[3]["change_rate"] - round(2 / 8, 6)) < 1e-9
+
+    # clamping
+    clamped = {r["doc_id"]: r for r in recrawl_schedule(hist, max_interval=4).collect()}
+    assert clamped[1]["revisit_interval"] == 4
+
+
+def test_recrawl_schedule_from_corpus_diff(spark):
+    from walker_spark.pipeline import corpus_diff, recrawl_schedule
+
+    snap = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    s1 = snap([(1, "a"), (2, "x")])
+    s2 = snap([(1, "a"), (2, "y")])
+    s3 = snap([(1, "a"), (2, "y")])
+    hist = (
+        corpus_diff(s1, s2).withColumn("round", F.lit(1))
+        .unionByName(corpus_diff(s2, s3).withColumn("round", F.lit(2)))
+        .select("doc_id", "round", (F.col("status") == "changed").alias("changed"))
+    )
+    out = {r["doc_id"]: r for r in recrawl_schedule(hist).collect()}
+    assert out[2]["n_changes"] == 1 and out[1]["n_changes"] == 0
+    assert out[1]["revisit_interval"] > out[2]["revisit_interval"]

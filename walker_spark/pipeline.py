@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["curate_corpus", "corpus_diff"]
+__all__ = ["curate_corpus", "corpus_diff", "recrawl_schedule"]
 
 
 def curate_corpus(
@@ -149,3 +149,62 @@ def corpus_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col("__id").alias(id_col), status.alias("status"))
+
+
+def recrawl_schedule(
+    history: DataFrame,
+    id_col: str = "doc_id",
+    round_col: str = "round",
+    changed_col: str = "changed",
+    min_interval: int = 1,
+    max_interval: int = 64,
+) -> DataFrame:
+    """Adaptive re-crawl scheduling from per-round change observations —
+    the freshness policy of a CONTINUOUS crawl (grounded in the public
+    Cho & Garcia-Molina revisit-frequency results: revisit faster what
+    changes faster). Input is one row per (page, crawl round) with a
+    ``changed`` flag — exactly what chaining :func:`corpus_diff` over
+    successive snapshots produces.
+
+    Per page: Laplace-smoothed change rate ``(n_changes+1)/(n_obs+2)``
+    and a power-of-two revisit interval — the largest power of two ≤
+    the smoothed mean rounds-between-changes, clamped to
+    [min_interval, max_interval] — plus ``due_round`` (last observed
+    round + interval). Power-of-two intervals bucket the frontier into
+    O(log max_interval) cohorts, so the scheduler's per-round pick is
+    a partition-pruned scan of the due cohorts, not a full-frontier
+    re-sort; the interval itself is INTEGER arithmetic end to end
+    (engine-exact — no float schedule drift at 10^10 pages).
+
+    Scale shape: one map-side-combined groupBy on the page id; output
+    is ids + small ints only.
+    """
+    if min_interval < 1 or max_interval < min_interval:
+        raise ValueError("need 1 <= min_interval <= max_interval")
+    agg = history.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col(changed_col).cast("int")).alias("n_changes"),
+        F.max(F.col(round_col)).alias("last_round"),
+    )
+    # largest power of two <= (n_obs+2) div (n_changes+1), clamped —
+    # a CASE chain on integer comparisons (identical in any engine)
+    x = F.expr("(n_obs + 2) div (n_changes + 1)")
+    p = 1
+    powers = []
+    while p <= max_interval:
+        if p >= min_interval:
+            powers.append(p)
+        p *= 2
+    expr = F.lit(powers[0])
+    for pw in powers[1:]:
+        expr = F.when(x >= pw, F.lit(pw)).otherwise(expr)
+    return agg.select(
+        id_col,
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+        F.round(
+            (F.col("n_changes") + F.lit(1.0)) / (F.col("n_obs") + F.lit(2.0)), 6
+        ).alias("change_rate"),
+        expr.cast("long").alias("revisit_interval"),
+        (F.col("last_round") + expr).cast("long").alias("due_round"),
+    )
