@@ -1151,6 +1151,41 @@ def q_text_pii_scrub(spark, sf):
     )
 
 
+def q_text_boilerplate(spark, sf):
+    """Per-group frequent-line (boilerplate) removal (functions/
+    text.py::remove_boilerplate, CCNet-style): a line appearing in
+    ≥40% of a source's documents is stripped. The single-line word
+    soup gets the standard newline-injecting fixture regex on BOTH
+    sides; production counts distinct-doc presence on md5(line) and
+    never shuffles raw line text in the stats branch, while the oracle
+    counts RAW lines — a value match also certifies the md5 line keys
+    are collision-free on this corpus. The word-pair lines top out at
+    ~24% presence (genuine negatives), so the fixture also injects a
+    per-source nav header into 2/3 of docs and a footer into 1/2 —
+    both above the 40% bar, both stripped. The threshold comparison is
+    integer (n_with*10000 >= 4000*n_docs), engine-exact."""
+    from walker_spark.functions.text import remove_boilerplate
+
+    did = F.col("doc_id")
+    docs = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.concat(
+            F.when(
+                did % 3 != 0,
+                F.concat(F.lit("nav menu "), F.col("source"), F.lit("\n")),
+            ).otherwise(F.lit("")),
+            F.regexp_replace("text", r"(\S+ \S+) ", "$1\n"),
+            F.when(
+                did % 2 == 0,
+                F.concat(F.lit("\nfooter "), F.col("source"), F.lit(" legal")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return remove_boilerplate(
+        docs, group_col="source", min_docs=2, doc_frac=0.4
+    ).orderBy("doc_id")
+
+
 def q_text_span_dedup(spark, sf):
     """Cross-document duplicated-span statistics (functions/text.py::
     cross_doc_span_stats) — the gram-granular rendering of substring
@@ -1672,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_decontaminate": q_text_decontaminate,
         "text_pii_scrub": q_text_pii_scrub,
+        "text_boilerplate": q_text_boilerplate,
         "text_span_dedup": q_text_span_dedup,
         "text_pack_sequences": q_text_pack_sequences,
         "text_pack_examples": q_text_pack_examples,
@@ -2667,6 +2703,66 @@ def oracle_sql() -> dict[str, str]:
                    md5(t3) AS scrub_hash,
                    CAST(length(t3) AS INT) AS scrub_len
             FROM s3 ORDER BY doc_id
+        """,
+        # text_boilerplate: same newline-injecting fixture; presence
+        # counted on RAW lines (production uses md5(line) — a match
+        # certifies collision-freedom); integer threshold; clean_text
+        # rebuilt with ORDER BY pos string_agg (Spark: array_sort over
+        # (pos,line) structs). DuckDB `/` on integers is float division
+        # like Spark's, and floor(x*1e4+0.5)/1e4 is the shared half-up
+        # quantizer.
+        "text_boilerplate": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 3 <> 0
+                          THEN 'nav menu ' || source || chr(10) ELSE '' END
+                     || regexp_replace(text, '(\S+ \S+) ',
+                                       '\1' || chr(10), 'g')
+                     || CASE WHEN doc_id % 2 = 0
+                          THEN chr(10) || 'footer ' || source || ' legal'
+                          ELSE '' END AS tx
+              FROM documents
+            ), ln0 AS (
+              SELECT doc_id, source,
+                     unnest(string_split(tx, chr(10))) AS line,
+                     generate_subscripts(string_split(tx, chr(10)), 1) AS pos
+              FROM t
+            ), ln AS (
+              SELECT * FROM ln0 WHERE line <> ''
+            ), nd AS (
+              SELECT source, count(DISTINCT doc_id) AS n_docs
+              FROM documents GROUP BY source
+            ), pres AS (
+              SELECT source, line, count(DISTINCT doc_id) AS n_with
+              FROM ln GROUP BY source, line
+            ), boiler AS (
+              SELECT p.source, p.line
+              FROM pres p JOIN nd ON nd.source = p.source
+              WHERE nd.n_docs >= 2 AND p.n_with * 10000 >= 4000 * nd.n_docs
+            ), tagged AS (
+              SELECT l.doc_id, l.pos, l.line,
+                     (b.line IS NOT NULL) AS is_b
+              FROM ln l
+              LEFT JOIN boiler b
+                ON b.source = l.source AND b.line = l.line
+            ), agg AS (
+              SELECT doc_id,
+                     count(*) AS n_lines,
+                     sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS n_removed,
+                     coalesce(string_agg(CASE WHEN NOT is_b THEN line END,
+                                         chr(10) ORDER BY pos), '')
+                       AS clean_text
+              FROM tagged GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+                   floor(coalesce(a.n_removed, 0)
+                         / greatest(coalesce(a.n_lines, 0), 1) * 10000 + 0.5)
+                     / 10000 AS removed_frac,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         # text_span_dedup: production joins md5-prefix16 gram hashes;
         # the oracle joins the raw 8-gram strings (same proof shape as

@@ -904,3 +904,64 @@ def test_pq_shortlist_recall_and_determinism(spark):
     assert {(r["query_id"], r["neighbor_id"], r["approx_score"], r["rank"]) for r in short} == {
         (r["query_id"], r["neighbor_id"], r["approx_score"], r["rank"]) for r in again
     }
+
+
+def test_remove_boilerplate(spark):
+    from walker_spark.functions.text import remove_boilerplate
+
+    nav, foot = "nav menu home", "footer legal"
+    docs = spark.createDataFrame(
+        [
+            (0, "h1", f"{nav}\nunique alpha\n{foot}"),
+            (1, "h1", f"{nav}\nunique beta\n\n{foot}"),
+            (2, "h1", f"{nav}\nunique gamma"),
+            (3, "h1", "all original content here"),
+            # second group: too few docs -> nothing stripped even though
+            # the line is in 100% of them
+            (4, "h2", "shared line"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(docs, min_docs=2, doc_frac=0.5).collect()
+    }
+    # nav in 3/4 (75%) and footer in 2/4 (50%) of group h1 -> stripped
+    assert out[0]["clean_text"] == "unique alpha"
+    assert out[0]["n_lines"] == 3 and out[0]["n_removed"] == 2
+    # empty line neither counted nor reassembled
+    assert out[1]["clean_text"] == "unique beta" and out[1]["n_lines"] == 3
+    assert out[2]["clean_text"] == "unique gamma"
+    assert out[3]["n_removed"] == 0 and out[3]["clean_text"] == docs.collect()[3]["text"]
+    # min_docs guard: single-doc group untouched
+    assert out[4]["n_removed"] == 0 and out[4]["clean_text"] == "shared line"
+    assert out[0]["removed_frac"] == 0.6667
+
+
+def test_remove_boilerplate_order_preserved(spark):
+    from walker_spark.functions.text import remove_boilerplate
+
+    boiler = "BOILER"
+
+    def doc_lines(d):
+        return [f"d{d}-line-{i:03d}" for i in range(40)]
+
+    docs = spark.createDataFrame(
+        [
+            (
+                d,
+                "g",
+                "\n".join(
+                    [boiler] + doc_lines(d)[:20] + [boiler] + doc_lines(d)[20:]
+                ),
+            )
+            for d in range(3)
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = remove_boilerplate(docs, min_docs=2, doc_frac=0.9).collect()
+    assert len(out) == 3
+    for r in out:
+        # both BOILER occurrences stripped, 40 unique lines kept in order
+        assert r["clean_text"] == "\n".join(doc_lines(r["doc_id"]))
+        assert r["n_removed"] == 2 and r["n_lines"] == 42

@@ -26,6 +26,7 @@ __all__ = [
     "repetition_metrics",
     "decontaminate",
     "pii_scrub",
+    "remove_boilerplate",
     "cross_doc_span_stats",
     "pack_sequences",
     "pack_examples",
@@ -575,6 +576,109 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
         cur = F.regexp_replace(cur, pat, repl)
     return out.withColumn(f"{text_col}_scrubbed", cur)
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_docs: int = 2,
+    doc_frac: float = 0.5,
+) -> DataFrame:
+    """Per-group frequent-line (boilerplate) removal — the CCNet-style
+    cleaning pass for web text (Wenzek et al. 2020 deduplicate/strip
+    lines shared across a crawl snapshot; headers, footers, nav bars,
+    cookie banners). A line is boilerplate when it appears in at least
+    ``doc_frac`` of the group's documents (DISTINCT-document presence,
+    not occurrence count) and the group holds at least ``min_docs``
+    documents. Empty lines are dropped from both counting and output.
+
+    Output per document: ``n_lines`` (non-empty input lines),
+    ``n_removed`` (boilerplate occurrences stripped), ``removed_frac``
+    (4-dec, half-up), and ``clean_text`` (surviving lines re-joined in
+    original order).
+
+    Scale shape: the line-frequency branch shuffles only
+    ``(group, md5(line))`` pairs — raw line text never rides the stats
+    exchange; presence is per-document-distinct *before* the count
+    groupBy, so the combiner dedups map-side. Group document totals are
+    a tiny aggregate joined back broadcast. Reassembly is the one
+    unavoidable full-text shuffle: a groupBy on the doc id with an
+    ``array_sort`` over ``(pos, line)`` structs — order restored
+    without a window. The ``doc_frac`` threshold is evaluated in
+    integer arithmetic (``n_with * 10000 >= frac10k * n_docs``), so the
+    boundary is engine-exact at any scale.
+    """
+    if min_docs < 1 or not (0.0 < doc_frac <= 1.0):
+        raise ValueError("need min_docs >= 1 and 0 < doc_frac <= 1")
+    frac10k = int(round(doc_frac * 10000))
+    lines = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias("__grp"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+        )
+        .filter(F.col("__line") != "")
+        .withColumn("__lh", F.md5(F.col("__line")))
+    )
+    n_docs = df.groupBy(F.col(group_col).alias("__grp")).agg(
+        F.count_distinct(F.col(id_col)).alias("__n_docs")
+    )
+    line_docs = (
+        lines.select("__grp", "__lh", "__id")
+        .distinct()
+        .groupBy("__grp", "__lh")
+        .agg(F.count(F.lit(1)).alias("__n_with"))
+    )
+    boiler = (
+        line_docs.join(F.broadcast(n_docs), "__grp")
+        .filter(
+            (F.col("__n_docs") >= min_docs)
+            & (F.col("__n_with") * 10000 >= F.lit(frac10k) * F.col("__n_docs"))
+        )
+        .select("__grp", "__lh", F.lit(True).alias("__boiler"))
+    )
+    tagged = lines.join(boiler, ["__grp", "__lh"], "left")
+    per_doc = tagged.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.coalesce(F.col("__boiler"), F.lit(False)).cast("int")).alias(
+            "n_removed"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__boiler").isNull(),
+                            F.struct(F.col("__pos"), F.col("__line")),
+                        )
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            (
+                F.floor(
+                    F.coalesce("n_removed", F.lit(0))
+                    / F.greatest(F.coalesce("n_lines", F.lit(0)), F.lit(1))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("removed_frac"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
 
 
 def cross_doc_span_stats(
