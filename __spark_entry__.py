@@ -1454,6 +1454,63 @@ def q_cdx_index(spark, sf):
     return cdx_records(fixture)
 
 
+def _cdx_capture_fixture(spark, sf):
+    """4 capture rounds per document; the payload version cycles with
+    ((doc_id*31 + round*7) % 3), so digests repeat across rounds —
+    exactly the across-crawl duplicate captures the revisit policy
+    exists for. URL is clean/lowercase so the oracle's SURT is a plain
+    label reversal; timestamps are round-major (later rounds strictly
+    later)."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    caps = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("round"),
+    ).select(
+        F.concat(
+            F.lit("http://"),
+            F.col("source"),
+            F.lit(".example.com/d/"),
+            did.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1700000000).cast("long") + F.col("round") * 100000 + did
+        ).alias("warc_ts"),
+        F.concat(
+            F.col("text"),
+            F.lit("#v"),
+            ((did * 31 + F.col("round") * 7) % 3).cast("string"),
+        ).alias("text"),
+    )
+    from walker_spark.sources.cdx import cdx_records
+
+    return cdx_records(caps)
+
+
+def q_cdx_revisits(spark, sf):
+    """WARC revisit-record assignment (sources/cdx.py::revisit_records,
+    identical-payload-digest profile): per (surt, digest) the earliest
+    capture stays a stored response, later ones become revisits with
+    refers_to_ts + stored_length 0. One (surt,digest) window over
+    index-sized rows; the oracle replays the same window in SQL."""
+    from walker_spark.sources.cdx import revisit_records
+
+    return revisit_records(_cdx_capture_fixture(spark, sf)).orderBy(
+        "surt", "ts", "url"
+    )
+
+
+def q_cdx_revisit_stats(spark, sf):
+    """Per-SURT storage ledger of the revisit policy (sources/cdx.py::
+    revisit_stats): captures vs distinct payloads, revisit count, bytes
+    fetched vs stored, saved_frac (shared half-up 4-dec quantizer)."""
+    from walker_spark.sources.cdx import revisit_stats
+
+    return revisit_stats(_cdx_capture_fixture(spark, sf)).orderBy("surt")
+
+
 def q_link_anchor_rollup(spark, sf):
     """Anchor-text aggregation per target page (operators/graph.py::
     anchor_text_rollup) — inbound-link text as a target-page signal,
@@ -1720,6 +1777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "link_anchor_rollup": q_link_anchor_rollup,
         "cdx_index": q_cdx_index,
+        "cdx_revisits": q_cdx_revisits,
+        "cdx_revisit_stats": q_cdx_revisit_stats,
         "recrawl_schedule": q_recrawl_schedule,
         "corpus_curate": q_corpus_curate,
         "text_vocab_encode": q_text_vocab_encode,
@@ -3029,6 +3088,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS length
             FROM k
             ORDER BY surt, ts, url
+        """,
+        # cdx_revisits / cdx_revisit_stats: clean-URL fixture so SURT
+        # is a plain label reversal; both engines' windows default to
+        # UNBOUNDED PRECEDING..CURRENT ROW so first_value(ts ORDER BY
+        # ts, url) is the partition original on each side.
+        "cdx_revisits": r"""
+            WITH caps AS (
+              SELECT 'com,example,' || source || ')/d/' || doc_id AS surt,
+                     strftime(to_timestamp(1700000000 + r.round * 100000
+                                           + doc_id),
+                              '%Y%m%d%H%M%S') AS ts,
+                     'http://' || source || '.example.com/d/' || doc_id
+                       AS url,
+                     md5(text || '#v' || ((doc_id * 31 + r.round * 7) % 3))
+                       AS digest,
+                     CAST(strlen(text || '#v'
+                                 || ((doc_id * 31 + r.round * 7) % 3))
+                          AS BIGINT) AS length
+              FROM documents, (SELECT unnest(range(1, 5)) AS round) r
+            ), w AS (
+              SELECT *,
+                     row_number() OVER
+                       (PARTITION BY surt, digest ORDER BY ts, url) AS rn,
+                     first_value(ts) OVER
+                       (PARTITION BY surt, digest ORDER BY ts, url) AS f_ts
+              FROM caps
+            )
+            SELECT surt, ts, url, digest, length,
+                   CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END
+                     AS record_type,
+                   CASE WHEN rn > 1 THEN f_ts END AS refers_to_ts,
+                   CAST(CASE WHEN rn = 1 THEN length ELSE 0 END AS BIGINT)
+                     AS stored_length
+            FROM w ORDER BY surt, ts, url
+        """,
+        "cdx_revisit_stats": r"""
+            WITH caps AS (
+              SELECT 'com,example,' || source || ')/d/' || doc_id AS surt,
+                     strftime(to_timestamp(1700000000 + r.round * 100000
+                                           + doc_id),
+                              '%Y%m%d%H%M%S') AS ts,
+                     'http://' || source || '.example.com/d/' || doc_id
+                       AS url,
+                     md5(text || '#v' || ((doc_id * 31 + r.round * 7) % 3))
+                       AS digest,
+                     CAST(strlen(text || '#v'
+                                 || ((doc_id * 31 + r.round * 7) % 3))
+                          AS BIGINT) AS length
+              FROM documents, (SELECT unnest(range(1, 5)) AS round) r
+            ), w AS (
+              SELECT *,
+                     row_number() OVER
+                       (PARTITION BY surt, digest ORDER BY ts, url) AS rn
+              FROM caps
+            )
+            SELECT surt,
+                   count(*) AS n_captures,
+                   count(DISTINCT digest) AS n_payloads,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_revisits,
+                   CAST(sum(length) AS BIGINT) AS bytes_fetched,
+                   CAST(sum(CASE WHEN rn = 1 THEN length ELSE 0 END)
+                        AS BIGINT) AS bytes_stored,
+                   floor((sum(length)
+                          - sum(CASE WHEN rn = 1 THEN length ELSE 0 END))
+                         / greatest(sum(length), 1) * 10000 + 0.5) / 10000
+                     AS saved_frac
+            FROM w GROUP BY surt ORDER BY surt
         """,
         # link_anchor_rollup: edge set + anchors + top-3 cut all
         # re-derived relationally (same dd/edges CTEs as pagerank's

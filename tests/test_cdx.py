@@ -49,3 +49,39 @@ def test_cdx_write_read_roundtrip(spark, tmp_path):
     got = {(r["surt"], r["ts"], r["url"], r["digest"], r["length"])
            for r in back.collect()}
     assert got == exp
+
+
+def test_revisit_records_semantics(spark):
+    from walker_spark.sources.cdx import revisit_records, revisit_stats
+
+    caps = spark.createDataFrame(
+        [
+            # one URL, digests A B A A across four crawls
+            ("com,ex)/p", "20240101000000", "http://ex.com/p", "A", 100),
+            ("com,ex)/p", "20240201000000", "http://ex.com/p", "B", 120),
+            ("com,ex)/p", "20240301000000", "http://ex.com/p", "A", 100),
+            ("com,ex)/p", "20240401000000", "http://ex.com/p", "A", 100),
+            # other URL, never re-captured
+            ("com,ex)/q", "20240101000000", "http://ex.com/q", "C", 50),
+        ],
+        "surt string, ts string, url string, digest string, length long",
+    )
+    recs = {(r["surt"], r["ts"]): r for r in revisit_records(caps).collect()}
+    r1 = recs[("com,ex)/p", "20240101000000")]
+    assert r1["record_type"] == "response" and r1["refers_to_ts"] is None
+    assert r1["stored_length"] == 100
+    for ts in ("20240301000000", "20240401000000"):
+        r = recs[("com,ex)/p", ts)]
+        assert r["record_type"] == "revisit"
+        assert r["refers_to_ts"] == "20240101000000"  # the ORIGINAL, not prior
+        assert r["stored_length"] == 0
+    assert recs[("com,ex)/p", "20240201000000")]["record_type"] == "response"
+    assert recs[("com,ex)/q", "20240101000000")]["record_type"] == "response"
+
+    st = {r["surt"]: r for r in revisit_stats(caps).collect()}
+    p = st["com,ex)/p"]
+    assert (p["n_captures"], p["n_payloads"], p["n_revisits"]) == (4, 2, 2)
+    assert p["bytes_fetched"] == 420 and p["bytes_stored"] == 220
+    assert p["saved_frac"] == 0.4762
+    q = st["com,ex)/q"]
+    assert q["n_revisits"] == 0 and q["saved_frac"] == 0.0

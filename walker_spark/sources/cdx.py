@@ -42,7 +42,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["surt_expr", "cdx_records", "write_cdx", "read_cdx"]
+__all__ = [
+    "surt_expr",
+    "cdx_records",
+    "write_cdx",
+    "read_cdx",
+    "revisit_records",
+    "revisit_stats",
+]
 
 
 def surt_expr(url: Column | str) -> Column:
@@ -204,4 +211,89 @@ def read_cdx(spark, path: str) -> DataFrame:
     )
     return binf.mapInPandas(
         parse, "surt string, ts string, url string, digest string, length long"
+    )
+
+
+def revisit_records(
+    captures: DataFrame,
+    surt_col: str = "surt",
+    ts_col: str = "ts",
+    url_col: str = "url",
+    digest_col: str = "digest",
+    length_col: str = "length",
+) -> DataFrame:
+    """Digest-based capture deduplication — the WARC ``revisit`` record
+    construction (public warc-specifications "revisit" profile
+    ``identical-payload-digest``, the mechanism web archives use to
+    avoid re-storing unchanged pages across crawls): within one SURT
+    key, the earliest capture of each distinct payload digest is the
+    stored ``response``; every later capture with the same digest
+    becomes a ``revisit`` that points back at the original via
+    ``refers_to_ts`` and stores zero payload bytes.
+
+    Output = the capture index plus ``record_type``
+    (``response``/``revisit``), ``refers_to_ts`` (null on responses),
+    and ``stored_length`` (payload bytes for responses, 0 for
+    revisits — the storage the policy actually writes).
+
+    Scale shape: ONE hash exchange on ``(surt, digest)`` and a window
+    inside it — rows are index-sized (the payload never reaches this
+    operator; :func:`cdx_records` consumed it in the scan stage). Ties
+    on timestamp break by url, so the assignment is total-order
+    deterministic on any engine.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(surt_col, digest_col).orderBy(ts_col, url_col)
+    rn = F.row_number().over(w)
+    first_ts = F.first(F.col(ts_col)).over(w)
+    return captures.select(
+        surt_col,
+        ts_col,
+        url_col,
+        digest_col,
+        F.col(length_col),
+        F.when(rn == 1, F.lit("response")).otherwise(F.lit("revisit")).alias(
+            "record_type"
+        ),
+        F.when(rn > 1, first_ts).alias("refers_to_ts"),
+        F.when(rn == 1, F.col(length_col)).otherwise(F.lit(0)).cast("long").alias(
+            "stored_length"
+        ),
+    )
+
+
+def revisit_stats(
+    captures: DataFrame,
+    surt_col: str = "surt",
+    ts_col: str = "ts",
+    url_col: str = "url",
+    digest_col: str = "digest",
+    length_col: str = "length",
+) -> DataFrame:
+    """Per-SURT storage ledger of the revisit policy: captures vs
+    distinct payloads, revisit count, bytes fetched vs bytes stored,
+    and ``saved_frac`` (4-dec half-up). Composes :func:`revisit_records`
+    then ONE map-side-combined groupBy on the key — the same single
+    exchange, since the window already partitioned by (surt, digest)
+    and the rollup keys by its prefix."""
+    recs = revisit_records(
+        captures, surt_col, ts_col, url_col, digest_col, length_col
+    )
+    is_rev = (F.col("record_type") == "revisit").cast("int")
+    return recs.groupBy(surt_col).agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.count_distinct(F.col(digest_col)).alias("n_payloads"),
+        F.sum(is_rev).cast("long").alias("n_revisits"),
+        F.sum(F.col(length_col)).cast("long").alias("bytes_fetched"),
+        F.sum("stored_length").cast("long").alias("bytes_stored"),
+        (
+            F.floor(
+                (F.sum(F.col(length_col)) - F.sum("stored_length"))
+                / F.greatest(F.sum(F.col(length_col)), F.lit(1))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("saved_frac"),
     )
