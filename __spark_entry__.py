@@ -1151,6 +1151,32 @@ def q_text_pii_scrub(spark, sf):
     )
 
 
+def q_search_postings(spark, sf):
+    """Inverted-index posting lists (operators/search.py::
+    posting_lists): per term, document frequency, collection frequency,
+    and the canonical 'doc:tf doc:tf' posting string in ascending doc
+    order (array_sort over structs — no window). The oracle rebuilds
+    postings with an ORDER BY string_agg."""
+    from walker_spark.operators.search import posting_lists
+
+    return posting_lists(_t(spark, sf, "documents")).orderBy("token")
+
+
+def q_search_bm25(spark, sf):
+    """BM25 top-20 (operators/search.py::bm25_topk, Lucene idf variant)
+    for a mixed-selectivity query — 'dup' is rare (df≈5% of docs, high
+    idf) while 'spark'/'window' are near-stopwords, so the ranking has
+    real teeth. Per-term contributions are quantized to a 1e-6 BIGINT
+    grid and integer-summed (order-independent across partitionings);
+    the oracle replays idf/avgdl/quantization with %.17e-style double
+    literals so neither engine slips into decimal arithmetic."""
+    from walker_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf, "documents"), ["dup", "spark", "window"], k=20
+    )
+
+
 def q_text_boilerplate(spark, sf):
     """Per-group frequent-line (boilerplate) removal (functions/
     text.py::remove_boilerplate, CCNet-style): a line appearing in
@@ -1765,6 +1791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_pii_scrub": q_text_pii_scrub,
         "text_boilerplate": q_text_boilerplate,
+        "search_postings": q_search_postings,
+        "search_bm25": q_search_bm25,
         "text_span_dedup": q_text_span_dedup,
         "text_pack_sequences": q_text_pack_sequences,
         "text_pack_examples": q_text_pack_examples,
@@ -2762,6 +2790,68 @@ def oracle_sql() -> dict[str, str]:
                    md5(t3) AS scrub_hash,
                    CAST(length(t3) AS INT) AS scrub_len
             FROM s3 ORDER BY doc_id
+        """,
+        # search_postings / search_bm25: package-standard tokenizer
+        # replayed via string_split_regex; BM25 constants written in
+        # e-notation so DuckDB types them DOUBLE (bare 1.2 becomes
+        # DECIMAL and exact-decimal math diverges from IEEE); the
+        # quantized contributions are integer-valued doubles < 2^53,
+        # so their sum is exact in any order on both engines.
+        "search_postings": r"""
+            WITH pairs AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\W+')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM pairs WHERE token <> '' GROUP BY doc_id, token
+            )
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS cf,
+                   string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id)
+                     AS postings
+            FROM tf GROUP BY token ORDER BY token
+        """,
+        "search_bm25": r"""
+            WITH pairs AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\W+')) AS token
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, token FROM pairs WHERE token <> ''
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM nz GROUP BY doc_id, token
+            ), dl AS (
+              SELECT doc_id, count(*) AS dl FROM nz GROUP BY doc_id
+            ), stats AS (
+              SELECT count(*) AS n, round(avg(dl), 6) AS avgdl FROM dl
+            ), q AS (
+              SELECT * FROM tf WHERE token IN ('dup', 'spark', 'window')
+            ), qdf AS (
+              SELECT token, count(*) AS df FROM q GROUP BY token
+            ), c AS (
+              SELECT q.doc_id,
+                     floor(round(ln(1e0 + (s.n - qdf.df + 5e-1)
+                                          / (qdf.df + 5e-1)), 12)
+                           * (q.tf * 2.2e0)
+                           / (q.tf + 1.2e0
+                              * (2.5e-1 + 7.5e-1 * dl.dl / s.avgdl))
+                           * 1000000 + 5e-1) AS cq
+              FROM q
+              JOIN qdf USING (token)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats s
+            ), agg AS (
+              SELECT doc_id, sum(cq) / 1000000 AS score,
+                     CAST(count(*) AS BIGINT) AS n_hits
+              FROM c GROUP BY doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank,
+                   doc_id, score, n_hits
+            FROM agg ORDER BY score DESC, doc_id LIMIT 20
         """,
         # text_boilerplate: same newline-injecting fixture; presence
         # counted on RAW lines (production uses md5(line) — a match
