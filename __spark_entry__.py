@@ -1426,6 +1426,42 @@ def q_link_pagerank(spark, sf):
     )
 
 
+def q_link_hits(spark, sf):
+    """HITS hubs/authorities (operators/graph.py::hits, Kleinberg
+    1999) over the SAME documents-derived edge set as link_pagerank;
+    5 L1-normalized iterations. The trajectory is EXACTLY
+    order-independent (per-node sums ride a 1e-12 scaled-BIGINT grid;
+    each half-step ends in one int/int double division), and the
+    oracle unrolls all 5 iterations with the same integer grid."""
+    from pyspark.sql import Window
+
+    from walker_spark.operators.graph import hits
+
+    d = _t(spark, sf, "documents")
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    base = d.select("doc_id", "source", rn.alias("rn"))
+    a = (
+        base.filter(F.col("doc_id") % 7 < 4)
+        .select(
+            "source",
+            F.col("doc_id").alias("s"),
+            "rn",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select("source", "s", (F.col("rn") + F.col("k")).alias("rn_t"))
+    )
+    edges = a.join(
+        base.select("source", F.col("rn").alias("rn_t"), F.col("doc_id").alias("t")),
+        ["source", "rn_t"],
+    ).select("s", "t")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    return (
+        hits(edges, nodes=nodes, iterations=5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_recrawl_schedule(spark, sf):
     """Adaptive revisit scheduling (pipeline.py::recrawl_schedule):
     per-page Laplace-smoothed change rate over 6 observed crawl rounds
@@ -1628,6 +1664,56 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
     )
 
 
+def _hits_sql(iters: int = 5) -> str:
+    """Unrolled HITS oracle on the shared documents edge set: scores
+    live on a 1e-12 grid carried as scaled BIGINTs, so every sum is
+    integer-exact and each half-step is one int/int double division —
+    the same arithmetic the Spark loop does, replayed relationally."""
+    cte = [
+        "dd AS MATERIALIZED (SELECT doc_id, source, row_number() OVER "
+        "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents)",
+        "edges AS MATERIALIZED (SELECT a.doc_id AS s, b.doc_id AS t FROM dd a JOIN dd b "
+        "ON a.source = b.source AND b.rn BETWEEN a.rn + 1 AND a.rn + 3 "
+        "WHERE a.doc_id % 7 < 4)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)",
+        "s0 AS MATERIALIZED (SELECT doc_id AS id, "
+        "floor(1e0 / (SELECT n FROM nn) * 1e12 + 5e-1) / 1e12 AS h, "
+        "floor(1e0 / (SELECT n FROM nn) * 1e12 + 5e-1) / 1e12 AS a "
+        "FROM documents)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        cte.append(
+            f"ar{k} AS MATERIALIZED (SELECT e.t AS id, "
+            f"sum(CAST(floor(s.h * 1e12 + 5e-1) AS BIGINT)) AS x "
+            f"FROM s{p} s JOIN edges e ON e.s = s.id GROUP BY e.t)"
+        )
+        cte.append(f"at{k} AS MATERIALIZED (SELECT sum(x) AS tot FROM ar{k})")
+        cte.append(
+            f"aa{k} AS MATERIALIZED (SELECT v.id, round(coalesce(ar.x, 0) "
+            f"/ (SELECT tot FROM at{k}), 12) AS a "
+            f"FROM s0 v LEFT JOIN ar{k} ar USING (id))"
+        )
+        cte.append(
+            f"hr{k} AS MATERIALIZED (SELECT e.s AS id, "
+            f"sum(CAST(floor(a.a * 1e12 + 5e-1) AS BIGINT)) AS x "
+            f"FROM aa{k} a JOIN edges e ON e.t = a.id GROUP BY e.s)"
+        )
+        cte.append(f"ht{k} AS MATERIALIZED (SELECT sum(x) AS tot FROM hr{k})")
+        cte.append(
+            f"s{k} AS MATERIALIZED (SELECT v.id, round(coalesce(hr.x, 0) "
+            f"/ (SELECT tot FROM ht{k}), 12) AS h, a.a "
+            f"FROM s0 v LEFT JOIN hr{k} hr USING (id) "
+            f"JOIN aa{k} a ON a.id = v.id)"
+        )
+    return (
+        "WITH "
+        + ",\n ".join(cte)
+        + f"\n SELECT id AS doc_id, round(h, 6) AS hub, round(a, 6) AS authority "
+        f"FROM s{iters} ORDER BY doc_id"
+    )
+
+
 def q_text_quality_model(spark, sf):
     """Model-based quality filter (functions/text.py::quality_logit):
     a fixed logistic layer over the native quality features — the
@@ -1803,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_roundtrip": q_sitemap_roundtrip,
         "text_quality_model": q_text_quality_model,
         "link_pagerank": q_link_pagerank,
+        "link_hits": q_link_hits,
         "link_anchor_rollup": q_link_anchor_rollup,
         "cdx_index": q_cdx_index,
         "cdx_revisits": q_cdx_revisits,
@@ -3089,6 +3176,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "link_pagerank": _pagerank_sql(iters=5, damping=0.85),
+        "link_hits": _hits_sql(iters=5),
         # recrawl_schedule: integer arithmetic end to end — `//` is
         # DuckDB's integer division (Spark side uses `div`); the
         # power-of-two clamp is the same CASE chain.

@@ -111,3 +111,53 @@ def test_anchor_rollup_topk_determinism(spark):
     # c wins on count; a/b tie on count=1 -> lexicographic 'a'
     assert row["top_anchors"] == "c|a"
     assert row["n_inlinks"] == 4 and row["n_unique_anchors"] == 3
+
+
+def test_hits_semantics(spark):
+    from walker_spark.operators.graph import hits
+
+    # 1 links to both authorities, 2 to one; 3 has the most inlinks
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3)], "s long, t long"
+    )
+    out = {r["id"]: r for r in hits(edges, iterations=8).collect()}
+    assert out[1]["hub"] > out[2]["hub"] > 0.0
+    assert out[3]["authority"] > out[4]["authority"] > 0.0
+    # pure hubs have no authority and vice versa
+    assert out[1]["authority"] == 0.0 and out[3]["hub"] == 0.0
+    # L1 normalization: each family sums to ~1 on the 6-dec output grid
+    assert abs(sum(r["hub"] for r in out.values()) - 1.0) < 1e-5
+    assert abs(sum(r["authority"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_hits_partitioning_invariant(spark):
+    from walker_spark.operators.graph import hits
+
+    import random
+
+    rng = random.Random(11)
+    edges = spark.createDataFrame(
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(300)],
+        "s long, t long",
+    ).filter("s <> t")
+    a = hits(edges, iterations=4).collect()
+    b = hits(edges.repartition(13), iterations=4).collect()
+    assert {(r["id"], r["hub"], r["authority"]) for r in a} == {
+        (r["id"], r["hub"], r["authority"]) for r in b
+    }
+
+
+def test_hits_empty_and_isolated(spark):
+    from walker_spark.operators.graph import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    empty = spark.createDataFrame([], "s long, t long")
+    out = {r["id"]: r for r in hits(empty, nodes=nodes).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(r["hub"] == 0.0 and r["authority"] == 0.0 for r in out.values())
+
+    # isolated node rides along with zeros
+    edges = spark.createDataFrame([(0, 1)], "s long, t long")
+    out2 = {r["id"]: r for r in hits(edges, nodes=nodes, iterations=3).collect()}
+    assert out2[0]["hub"] == 1.0 and out2[1]["authority"] == 1.0
+    assert out2[2]["hub"] == 0.0 and out2[2]["authority"] == 0.0
