@@ -1151,6 +1151,21 @@ def q_text_pii_scrub(spark, sf):
     )
 
 
+def q_text_charlm(spark, sf):
+    """Character-trigram LM quality scoring (functions/text.py::
+    charlm_metrics, the CCNet perplexity-gate shape): Laplace-smoothed
+    trigram model trained on docs with doc_id%3 != 0, every doc scored
+    — held-out docs genuinely exercise the unseen-gram/unseen-context
+    fallbacks. Per-gram NLLs ride a 1e-6 scaled-BIGINT grid (integer
+    doc sums, order-independent); the oracle retrains and rescores the
+    whole model relationally."""
+    from walker_spark.functions.text import charlm_metrics
+
+    d = _t(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % 3 != 0)
+    return charlm_metrics(d, train=train, n=3, alpha=1.0).orderBy("doc_id")
+
+
 def q_search_postings(spark, sf):
     """Inverted-index posting lists (operators/search.py::
     posting_lists): per term, document frequency, collection frequency,
@@ -1877,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_pii_scrub": q_text_pii_scrub,
         "text_boilerplate": q_text_boilerplate,
+        "text_charlm": q_text_charlm,
         "search_postings": q_search_postings,
         "search_bm25": q_search_bm25,
         "text_span_dedup": q_text_span_dedup,
@@ -2877,6 +2893,65 @@ def oracle_sql() -> dict[str, str]:
                    md5(t3) AS scrub_hash,
                    CAST(length(t3) AS INT) AS scrub_len
             FROM s3 ORDER BY doc_id
+        """,
+        # text_charlm: the trigram model retrained in SQL (MATERIALIZED
+        # CTEs — DuckDB re-inlines references otherwise); correlated
+        # gram explode via unnest(list_transform(range(...))) in the
+        # SELECT clause; constants in e-notation for DOUBLE typing; the
+        # per-gram NLL quantization and integer doc sums replayed
+        # exactly.
+        "text_charlm": r"""
+            WITH tr AS MATERIALIZED (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+            ), trg AS MATERIALIZED (
+              SELECT unnest(list_transform(
+                       range(1, greatest(length(text) - 2, 0) + 1),
+                       i -> substr(text, CAST(i AS INT), 3))) AS gram
+              FROM tr
+            ), gc AS MATERIALIZED (
+              SELECT gram, count(*) AS gc FROM trg GROUP BY gram
+            ), cc AS MATERIALIZED (
+              SELECT substr(gram, 1, 2) AS ctx, count(*) AS cc
+              FROM trg GROUP BY substr(gram, 1, 2)
+            ), v AS MATERIALIZED (
+              SELECT CAST(count(DISTINCT ch) AS DOUBLE) AS v FROM (
+                SELECT unnest(list_transform(
+                         range(1, greatest(length(text), 0) + 1),
+                         i -> substr(text, CAST(i AS INT), 1))) AS ch
+                FROM tr
+              )
+            ), dg AS MATERIALIZED (
+              SELECT doc_id, gram, substr(gram, 1, 2) AS ctx,
+                     count(*) AS tf
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(1, greatest(length(text) - 2, 0) + 1),
+                         i -> substr(text, CAST(i AS INT), 3))) AS gram
+                FROM documents
+              ) GROUP BY doc_id, gram, substr(gram, 1, 2)
+            ), sc AS MATERIALIZED (
+              SELECT dg.doc_id, dg.tf,
+                     CAST(floor(-ln((coalesce(gc.gc, 0) + 1e0)
+                                    / (coalesce(cc.cc, 0)
+                                       + 1e0 * (SELECT v FROM v)))
+                                * 1000000 + 5e-1) AS BIGINT) AS nq
+              FROM dg
+              LEFT JOIN gc USING (gram)
+              LEFT JOIN cc USING (ctx)
+            ), pd AS MATERIALIZED (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_grams,
+                     sum(tf * nq) AS tot
+              FROM sc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_grams, 0) AS n_grams,
+                   round(coalesce(p.tot / (p.n_grams * 1000000e0), 0e0), 6)
+                     AS avg_nll,
+                   round(exp(coalesce(p.tot / (p.n_grams * 1000000e0), 0e0)),
+                         6) AS ppl
+            FROM documents d LEFT JOIN pd p USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # search_postings / search_bm25: package-standard tokenizer
         # replayed via string_split_regex; BM25 constants written in

@@ -965,3 +965,52 @@ def test_remove_boilerplate_order_preserved(spark):
         # both BOILER occurrences stripped, 40 unique lines kept in order
         assert r["clean_text"] == "\n".join(doc_lines(r["doc_id"]))
         assert r["n_removed"] == 2 and r["n_lines"] == 42
+
+
+def test_charlm_metrics(spark):
+    import math
+
+    from walker_spark.functions.text import charlm_metrics
+
+    train = spark.createDataFrame(
+        [(0, "ababab"), (1, "ababab")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "abab"), (11, "zzzz")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in charlm_metrics(score, train=train).collect()}
+    # model: trigrams aba x4, bab x4; contexts ab x6 (4 aba + 2 abX end?) ->
+    # recompute: each 'ababab' has grams aba, bab, aba, bab; ctx ab,ba,ab,ba
+    # counts over 2 docs: aba=4, bab=4; ab=4, ba=4; V = {a,b} = 2
+    V = 2.0
+
+    def nll(gc, cc):
+        x = -math.log((gc + 1.0) / (cc + 1.0 * V))
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    # doc 10 'abab': grams aba (gc=4, ctx ab cc=4), bab (gc=4, ctx ba cc=4)
+    exp_avg = round((nll(4, 4) + nll(4, 4)) / 2, 6)
+    assert out[10]["n_grams"] == 2
+    assert out[10]["avg_nll"] == exp_avg
+    # doc 11 'zzzz': gram zzz unseen, ctx zz unseen -> p = 1/(0 + V)
+    exp_unseen = round(nll(0, 0), 6)
+    assert out[11]["avg_nll"] == exp_unseen
+    # the in-distribution doc scores strictly better
+    assert out[10]["avg_nll"] < out[11]["avg_nll"]
+    assert out[10]["ppl"] < out[11]["ppl"]
+    # ppl = exp(avg_nll) on the rounded mean
+    assert abs(out[11]["ppl"] - round(math.exp(exp_unseen), 6)) < 2e-6
+
+
+def test_charlm_partitioning_invariant(spark):
+    from walker_spark.functions.text import charlm_metrics
+
+    docs = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text sample "), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    a = charlm_metrics(docs).collect()
+    b = charlm_metrics(docs.repartition(11)).collect()
+    assert {(r["doc_id"], r["avg_nll"], r["ppl"]) for r in a} == {
+        (r["doc_id"], r["avg_nll"], r["ppl"]) for r in b
+    }

@@ -27,6 +27,7 @@ __all__ = [
     "decontaminate",
     "pii_scrub",
     "remove_boilerplate",
+    "charlm_metrics",
     "cross_doc_span_stats",
     "pack_sequences",
     "pack_examples",
@@ -576,6 +577,108 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
         cur = F.regexp_replace(cur, pat, repl)
     return out.withColumn(f"{text_col}_scrubbed", cur)
+
+
+def charlm_metrics(
+    df: DataFrame,
+    train: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Character n-gram language-model scoring — the CCNet-style
+    LM-perplexity quality gate (Wenzek et al. 2020 rank crawl text by
+    LM perplexity; at engine level that is: train n-gram counts on a
+    reference corpus, score every document by average negative
+    log-likelihood). Additive (Laplace) smoothing with parameter
+    ``alpha``: ``p(c | ctx) = (cnt(ctx·c) + alpha) / (cnt(ctx) +
+    alpha·V)`` with ``V`` the training charset size; a gram whose
+    context was never seen scores ``1/V``.
+
+    Per document: ``n_grams`` (length−n+1 sliding windows), ``avg_nll``
+    (mean negative log-likelihood in nats, 6-dec) and ``ppl``
+    (``exp(avg_nll)``, 6-dec — one libm exp after the deterministic
+    mean, same 6-dec-hides-ulp policy as :func:`quality_logit`).
+
+    Determinism: each distinct gram's NLL is quantized once to a 1e-6
+    scaled BIGINT; a document's total is ``sum(tf * nll_q)`` — integer
+    arithmetic, order-independent under any partitioning (the HITS/
+    BM25 discipline). The only doubles are one ln per DISTINCT gram
+    and one division + exp per document.
+
+    Scale shape: grams explode natively (``transform(sequence(...))``,
+    no Python); both model tables are vocabulary-sized groupBys that
+    AQE broadcasts back; the scoring join moves (id, gram-hash, tf)
+    only. ``train`` defaults to ``df`` (self-scoring).
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    tr = train if train is not None else df
+    txt = F.col(text_col)
+
+    def grams_of(frame):
+        g = F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(txt) - (n - 1), F.lit(0))
+            ),
+            lambda i: F.substring(txt, i, n),
+        )
+        return frame.select(
+            F.col(id_col), F.explode(g).alias("gram")
+        ).withColumn("ctx", F.substring(F.col("gram"), 1, n - 1))
+
+    gcnt = grams_of(tr).groupBy("gram").agg(F.count(F.lit(1)).alias("gc"))
+    ccnt = (
+        grams_of(tr).groupBy("ctx").agg(F.count(F.lit(1)).alias("cc"))
+    )
+    vsize = (
+        tr.select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length(txt), F.lit(0))
+                    ),
+                    lambda i: F.substring(txt, i, 1),
+                )
+            ).alias("ch")
+        )
+        .agg(F.count_distinct("ch").alias("__v"))
+    )
+    doc_tf = (
+        grams_of(df)
+        .groupBy(id_col, "gram", "ctx")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("gc"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("cc"), F.lit(0)) + F.lit(alpha) * F.col("__v"))
+    )
+    scored = (
+        doc_tf.join(F.broadcast(gcnt), "gram", "left")
+        .join(F.broadcast(ccnt), "ctx", "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            id_col,
+            F.col("tf"),
+            F.floor(nll * 1000000 + F.lit(0.5)).cast("long").alias("nq"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_grams"),
+        F.sum(F.col("tf") * F.col("nq")).alias("__tot"),
+    )
+    avg_nll = F.col("__tot") / (F.col("n_grams") * 1000000)
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.round(F.coalesce(avg_nll, F.lit(0.0)), 6).alias("avg_nll"),
+            F.round(F.exp(F.coalesce(avg_nll, F.lit(0.0))), 6).alias("ppl"),
+        )
+    )
 
 
 def remove_boilerplate(
