@@ -1151,6 +1151,55 @@ def q_text_pii_scrub(spark, sf):
     )
 
 
+def q_frontier_budget(spark, sf):
+    """Largest-remainder host budget apportionment (operators/
+    frontier.py::allocate_host_budget): 997 global fetch slots split
+    proportionally to per-source demand (sum of n_chars — naturally
+    uneven), leftover slots to the largest integer remainders. All
+    BIGINT arithmetic — the oracle replays base/remainder/winner-rank
+    exactly; a prime budget forces remainders to bind."""
+    from walker_spark.operators.frontier import allocate_host_budget
+
+    demand = (
+        _t(spark, sf, "documents")
+        .groupBy(F.col("source").alias("host"))
+        .agg(F.sum("n_chars").alias("demand"))
+    )
+    return allocate_host_budget(demand, total_budget=997).orderBy("host")
+
+
+def q_frontier_traps(spark, sf):
+    """Crawler-trap template detection (operators/frontier.py::
+    url_trap_templates): digit runs in the path fold to N, query
+    values drop to sorted param NAMES; per (host, template) distinct
+    URLs + deterministic example + is_trap at threshold 10. The
+    fixture mixes an unbounded '/page/N' generator (trap), a bounded
+    '/item/N/view' family, a rare static '/about', and alternating
+    session-param queries."""
+    from walker_spark.operators.frontier import url_trap_templates
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://"),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(did % 13 == 0, F.lit("/about")).otherwise(
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit("/item/"), (did % 7).cast("string"), F.lit("/view")),
+            ).otherwise(F.concat(F.lit("/page/"), did.cast("string")))
+        ),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("?session="), did.cast("string"), F.lit("&lang=en")),
+        ).otherwise(F.lit("")),
+    )
+    return url_trap_templates(
+        d.select(url.alias("url")), trap_threshold=10
+    ).orderBy("host", "template")
+
+
 def q_text_charlm(spark, sf):
     """Character-trigram LM quality scoring (functions/text.py::
     charlm_metrics, the CCNet perplexity-gate shape): Laplace-smoothed
@@ -1893,6 +1942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_boilerplate": q_text_boilerplate,
         "text_charlm": q_text_charlm,
+        "frontier_budget": q_frontier_budget,
+        "frontier_traps": q_frontier_traps,
         "search_postings": q_search_postings,
         "search_bm25": q_search_bm25,
         "text_span_dedup": q_text_span_dedup,
@@ -2893,6 +2944,84 @@ def oracle_sql() -> dict[str, str]:
                    md5(t3) AS scrub_hash,
                    CAST(length(t3) AS INT) AS scrub_len
             FROM s3 ORDER BY doc_id
+        """,
+        # frontier_budget: Hamilton apportionment in BIGINTs — DuckDB
+        # `//`/`%` mirror Spark's `div`/`%`; winners ranked by
+        # (remainder desc, host asc); CASE on a NULL rank falls to 0.
+        "frontier_budget": r"""
+            WITH dem AS (
+              SELECT source AS host, sum(n_chars) AS demand
+              FROM documents GROUP BY source
+            ), tot AS (
+              SELECT sum(demand) AS d FROM dem
+            ), b AS (
+              SELECT host, demand,
+                     (997 * demand) // (SELECT d FROM tot) AS base,
+                     (997 * demand) % (SELECT d FROM tot) AS rem
+              FROM dem
+            ), ex AS (
+              SELECT 997 - sum(base) AS n_extra FROM b
+            ), rk AS (
+              SELECT host,
+                     row_number() OVER (ORDER BY rem DESC, host) AS rn
+              FROM b WHERE rem > 0
+            )
+            SELECT b.host,
+                   CAST(b.demand AS BIGINT) AS demand,
+                   CAST(b.base AS BIGINT) AS base,
+                   CAST(CASE WHEN rk.rn <= (SELECT n_extra FROM ex)
+                             THEN 1 ELSE 0 END AS BIGINT) AS extra,
+                   CAST(b.base + CASE WHEN rk.rn <= (SELECT n_extra FROM ex)
+                                      THEN 1 ELSE 0 END AS BIGINT) AS budget
+            FROM b LEFT JOIN rk USING (host) ORDER BY b.host
+        """,
+        # frontier_traps: template derivation replayed natively —
+        # regexp_replace with 'g' for the digit fold (DuckDB is
+        # first-match by default where Spark replaces all), param
+        # names via list_transform + list_sort.
+        "frontier_traps": r"""
+            WITH u AS (
+              SELECT DISTINCT
+                     'http://' || source || '.example.com'
+                     || CASE WHEN doc_id % 13 = 0 THEN '/about'
+                             WHEN doc_id % 3 = 0
+                               THEN '/item/' || (doc_id % 7) || '/view'
+                             ELSE '/page/' || doc_id END
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN '?session=' || doc_id || '&lang=en'
+                             ELSE '' END AS url
+              FROM documents
+            ), p AS (
+              SELECT url,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                       1)) AS host,
+                     regexp_replace(
+                       regexp_replace(url, '#.*$', ''),
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
+              FROM u
+            ), t AS (
+              SELECT url, host,
+                     regexp_replace(
+                       CASE WHEN regexp_replace(rest, '\?.*$', '') = ''
+                            THEN '/'
+                            ELSE regexp_replace(rest, '\?.*$', '') END,
+                       '[0-9]+', 'N', 'g')
+                     || CASE WHEN position('?' IN rest) > 0 THEN
+                          '?' || array_to_string(list_sort(list_transform(
+                            list_filter(string_split(
+                              regexp_replace(rest, '^[^?]*\?', ''), '&'),
+                              x -> x <> ''),
+                            x -> regexp_replace(x, '=.*$', ''))), '&')
+                        ELSE '' END AS template
+              FROM p
+            )
+            SELECT host, template,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   min(url) AS example_url,
+                   count(*) >= 10 AS is_trap
+            FROM t GROUP BY host, template
+            ORDER BY host, template
         """,
         # text_charlm: the trigram model retrained in SQL (MATERIALIZED
         # CTEs — DuckDB re-inlines references otherwise); correlated

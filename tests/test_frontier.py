@@ -1,0 +1,76 @@
+from pyspark.sql import functions as F
+
+
+def test_allocate_host_budget_hamilton(spark):
+    from walker_spark.operators.frontier import allocate_host_budget
+
+    dem = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2)], "host string, demand long"
+    )
+    out = {r["host"]: r for r in allocate_host_budget(dem, 7).collect()}
+    # D=10: bases 3/2/1 (sum 6), remainders 5/1/4 -> the 1 leftover to a
+    assert (out["a"]["base"], out["b"]["base"], out["c"]["base"]) == (3, 2, 1)
+    assert out["a"]["extra"] == 1 and out["b"]["extra"] == 0
+    assert sum(r["budget"] for r in out.values()) == 7
+    assert (out["a"]["budget"], out["b"]["budget"], out["c"]["budget"]) == (4, 2, 1)
+
+
+def test_allocate_host_budget_ties_and_edges(spark):
+    from walker_spark.operators.frontier import allocate_host_budget
+
+    # remainder tie (5 vs 5) -> host-ascending wins
+    dem = spark.createDataFrame(
+        [("x", 5), ("y", 3), ("z", 2)], "host string, demand long"
+    )
+    out = {r["host"]: r for r in allocate_host_budget(dem, 25).collect()}
+    # D=10: bases 12/7/5 (sum 24), remainders 5/5/0 -> extra to x
+    assert out["x"]["budget"] == 13 and out["y"]["budget"] == 7
+    assert sum(r["budget"] for r in out.values()) == 25
+
+    # zero-demand host gets zero; total still exact
+    dem2 = spark.createDataFrame(
+        [("a", 0), ("b", 4)], "host string, demand long"
+    )
+    out2 = {r["host"]: r for r in allocate_host_budget(dem2, 9).collect()}
+    assert out2["a"]["budget"] == 0 and out2["b"]["budget"] == 9
+
+    # all-zero demand: nothing allocated, no division blow-up
+    dem3 = spark.createDataFrame([("a", 0)], "host string, demand long")
+    assert allocate_host_budget(dem3, 5).collect()[0]["budget"] == 0
+
+
+def test_allocate_host_budget_partitioning_invariant(spark):
+    from walker_spark.operators.frontier import allocate_host_budget
+
+    dem = spark.createDataFrame(
+        [(f"h{i:03d}", (i * 37) % 101 + 1) for i in range(50)],
+        "host string, demand long",
+    )
+    a = allocate_host_budget(dem, 997).collect()
+    b = allocate_host_budget(dem.repartition(9), 997).collect()
+    assert {(r["host"], r["budget"]) for r in a} == {
+        (r["host"], r["budget"]) for r in b
+    }
+    assert sum(r["budget"] for r in a) == 997
+
+
+def test_url_trap_templates(spark):
+    from walker_spark.operators.frontier import url_trap_templates
+
+    urls = (
+        [(f"http://ex.com/cal/2024/{i}/{i%28+1}",) for i in range(30)]
+        + [("http://ex.com/about",), ("http://ex.com/about",)]  # dup URL
+        + [(f"http://ex.com/p?id={i}&ses=zz{i}",) for i in range(5)]
+        + [("http://other.com/cal/1/2/3#frag",)]
+    )
+    df = spark.createDataFrame(urls, "url string")
+    out = {(r["host"], r["template"]): r for r in url_trap_templates(df, trap_threshold=20).collect()}
+    cal = out[("ex.com", "/cal/N/N/N")]
+    assert cal["n_urls"] == 30 and cal["is_trap"]
+    assert cal["example_url"] == "http://ex.com/cal/2024/0/1"
+    about = out[("ex.com", "/about")]
+    assert about["n_urls"] == 1 and not about["is_trap"]  # distinct URLs
+    q = out[("ex.com", "/p?id&ses")]
+    assert q["n_urls"] == 5 and not q["is_trap"]
+    # fragment dropped; host split
+    assert out[("other.com", "/cal/N/N/N")]["n_urls"] == 1
