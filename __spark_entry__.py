@@ -1151,6 +1151,20 @@ def q_text_pii_scrub(spark, sf):
     )
 
 
+def q_event_sessions(spark, sf):
+    """Gap-based sessionization of the events log (operators/
+    sessions.py::session_stats, 6-hour gap — the fixture's median
+    inter-event gap is ~7.3 h, so sessions genuinely split AND
+    accumulate). Integer-millisecond time arithmetic both sides
+    (unix_millis vs epoch_ms); one user-keyed exchange feeds lag,
+    running sum, and the rollup."""
+    from walker_spark.operators.sessions import session_stats
+
+    return session_stats(
+        _t(spark, sf, "events"), gap_minutes=360
+    ).orderBy("user_id", "session_seq")
+
+
 def q_frontier_budget(spark, sf):
     """Largest-remainder host budget apportionment (operators/
     frontier.py::allocate_host_budget): 997 global fetch slots split
@@ -1942,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_boilerplate": q_text_boilerplate,
         "text_charlm": q_text_charlm,
+        "event_sessions": q_event_sessions,
         "frontier_budget": q_frontier_budget,
         "frontier_traps": q_frontier_traps,
         "search_postings": q_search_postings,
@@ -2944,6 +2959,37 @@ def oracle_sql() -> dict[str, str]:
                    md5(t3) AS scrub_hash,
                    CAST(length(t3) AS INT) AS scrub_len
             FROM s3 ORDER BY doc_id
+        """,
+        # event_sessions: same two windows + rollup in SQL; epoch_ms
+        # mirrors unix_millis exactly (integer milliseconds, so the
+        # session boundary is engine-exact); ordering ties break by
+        # event_id on both sides.
+        "event_sessions": r"""
+            WITH g AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+                          WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                               > 360 * 60000 THEN 1
+                          ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *,
+                     sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM g
+            )
+            SELECT user_id,
+                   CAST(session_seq AS BIGINT) AS session_seq,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT)
+                     AS duration_ms,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+            FROM s GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
         """,
         # frontier_budget: Hamilton apportionment in BIGINTs — DuckDB
         # `//`/`%` mirror Spark's `div`/`%`; winners ranked by
