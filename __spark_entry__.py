@@ -1151,6 +1151,38 @@ def q_text_pii_scrub(spark, sf):
     )
 
 
+def q_host_graph(spark, sf):
+    """Host-level link graph (operators/graph.py::host_graph — the
+    Common Crawl host-graph artifact shape): page edges collapse to
+    weighted host edges, self-loops dropped. The fixture fans each doc
+    out to 2 cross-host targets via modular arithmetic (some landing
+    on the SAME host — exercising the self-loop filter); the oracle
+    re-derives hosts from the raw URL strings."""
+    from walker_spark.operators.graph import host_graph
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    links = d.select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/d/"),
+            did.cast("string"),
+        ).alias("src_url"),
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("http://src"), ((did * 7 + 1) % 23).cast("string"),
+                    F.lit(".example.com/d/"), (did % 11).cast("string"),
+                ),
+                F.concat(
+                    F.lit("HTTP://SRC"), ((did * 13 + 5) % 23).cast("string"),
+                    F.lit(".Example.COM/d/"), (did % 5).cast("string"),
+                ),
+            )
+        ).alias("dst_url"),
+    )
+    return host_graph(links).orderBy("src_host", "dst_host")
+
+
 def q_event_sessions(spark, sf):
     """Gap-based sessionization of the events log (operators/
     sessions.py::session_stats, 6-hour gap — the fixture's median
@@ -1956,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_boilerplate": q_text_boilerplate,
         "text_charlm": q_text_charlm,
+        "host_graph": q_host_graph,
         "event_sessions": q_event_sessions,
         "frontier_budget": q_frontier_budget,
         "frontier_traps": q_frontier_traps,
@@ -2959,6 +2992,38 @@ def oracle_sql() -> dict[str, str]:
                    md5(t3) AS scrub_hash,
                    CAST(length(t3) AS INT) AS scrub_len
             FROM s3 ORDER BY doc_id
+        """,
+        # host_graph: hosts re-extracted from the raw URLs (lowercase
+        # fold catches the upper-case fixture arm); self-loops
+        # filtered; distinct endpoints via count(DISTINCT url).
+        "host_graph": r"""
+            WITH links AS (
+              SELECT 'http://' || source || '.example.com/d/' || doc_id
+                       AS src_url,
+                     unnest([
+                       'http://src' || ((doc_id * 7 + 1) % 23)
+                         || '.example.com/d/' || (doc_id % 11),
+                       'HTTP://SRC' || ((doc_id * 13 + 5) % 23)
+                         || '.Example.COM/d/' || (doc_id % 5)
+                     ]) AS dst_url
+              FROM documents
+            ), h AS (
+              SELECT src_url, dst_url,
+                     lower(regexp_extract(src_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                       1)) AS src_host,
+                     lower(regexp_extract(dst_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                       1)) AS dst_host
+              FROM links
+            )
+            SELECT src_host, dst_host,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT src_url) AS BIGINT) AS n_src_pages,
+                   CAST(count(DISTINCT dst_url) AS BIGINT) AS n_dst_pages
+            FROM h WHERE src_host <> dst_host
+            GROUP BY src_host, dst_host
+            ORDER BY src_host, dst_host
         """,
         # event_sessions: same two windows + rollup in SQL; epoch_ms
         # mirrors unix_millis exactly (integer milliseconds, so the

@@ -161,3 +161,26 @@ def test_hits_empty_and_isolated(spark):
     out2 = {r["id"]: r for r in hits(edges, nodes=nodes, iterations=3).collect()}
     assert out2[0]["hub"] == 1.0 and out2[1]["authority"] == 1.0
     assert out2[2]["hub"] == 0.0 and out2[2]["authority"] == 0.0
+
+
+def test_host_graph(spark):
+    from walker_spark.operators.graph import host_graph
+
+    links = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://b.com/x"),
+            ("http://a.com/2", "http://b.com/x"),
+            ("http://a.com/1", "HTTP://B.COM/y"),      # case-folds to b.com
+            ("http://a.com/3", "http://a.com/self"),    # self-loop dropped
+            ("http://c.com:8080/p", "http://a.com/1"),  # port split off host
+        ],
+        "src_url string, dst_url string",
+    )
+    out = {(r["src_host"], r["dst_host"]): r for r in host_graph(links).collect()}
+    ab = out[("a.com", "b.com")]
+    # n_dst_pages counts DISTINCT raw urls: b.com/x (deduped) + B.COM/y
+    assert ab["n_links"] == 3 and ab["n_src_pages"] == 2 and ab["n_dst_pages"] == 2
+    assert ("a.com", "a.com") not in out
+    assert ("c.com", "a.com") in out
+    kept = {(r["src_host"], r["dst_host"]) for r in host_graph(links, keep_self=True).collect()}
+    assert ("a.com", "a.com") in kept

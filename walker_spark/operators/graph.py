@@ -31,7 +31,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "hits", "anchor_text_rollup", "anchor_rollup_from_pages"]
+__all__ = [
+    "pagerank",
+    "hits",
+    "host_graph",
+    "anchor_text_rollup",
+    "anchor_rollup_from_pages",
+]
 
 _Q = 12  # intermediate quantization decimals (see module docstring)
 
@@ -206,6 +212,49 @@ def hits(
     v.unpersist()
     e.unpersist()
     return out
+
+
+def host_graph(
+    links: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    keep_self: bool = False,
+) -> DataFrame:
+    """Collapse a page-level link set to the HOST-level graph — the
+    standard web-graph reduction (Common Crawl publishes exactly this
+    as its host/domain graph artifact): one row per (src_host,
+    dst_host) with ``n_links`` (page links), ``n_src_pages`` /
+    ``n_dst_pages`` (distinct endpoints). Self-loops (intra-host
+    links) are dropped unless ``keep_self`` — centrality runs want
+    them gone, storage ledgers want them kept.
+
+    Scale shape: host extraction is a native regex projection; one
+    groupBy on the (src_host, dst_host) pair — host-graph cardinality
+    is orders of magnitude below the page edge set, so this is the
+    aggregation that makes whole-web centrality tractable (run
+    :func:`pagerank`/:func:`hits` on its output).
+    """
+
+    def host_of(c):
+        return F.lower(
+            F.regexp_extract(
+                F.col(c), r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1
+            )
+        )
+
+    e = links.select(
+        host_of(src_col).alias("src_host"),
+        host_of(dst_col).alias("dst_host"),
+        F.col(src_col).alias("__s"),
+        F.col(dst_col).alias("__t"),
+    )
+    if not keep_self:
+        e = e.filter(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.count_distinct("__s").alias("n_src_pages"),
+        F.count_distinct("__t").alias("n_dst_pages"),
+    )
 
 
 def anchor_text_rollup(
