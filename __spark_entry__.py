@@ -1183,6 +1183,102 @@ def q_host_graph(spark, sf):
     return host_graph(links).orderBy("src_host", "dst_host")
 
 
+def q_host_pagerank(spark, sf):
+    """Domain centrality: PageRank over the HOST graph (the host_graph
+    rollup feeding operators/graph.py::pagerank — the standard
+    two-stage whole-web centrality plan: collapse page edges first,
+    iterate on the tiny host graph). Same quantized trajectory as
+    link_pagerank; vertex set = edge-endpoint union; the oracle
+    re-derives the host edge set and unrolls all 5 iterations."""
+    from walker_spark.operators.graph import host_graph, pagerank
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    links = d.select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/d/"),
+            did.cast("string"),
+        ).alias("src_url"),
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("http://src"), ((did * 7 + 1) % 23).cast("string"),
+                    F.lit(".example.com/d/"), (did % 11).cast("string"),
+                ),
+                F.concat(
+                    F.lit("HTTP://SRC"), ((did * 13 + 5) % 23).cast("string"),
+                    F.lit(".Example.COM/d/"), (did % 5).cast("string"),
+                ),
+            )
+        ).alias("dst_url"),
+    )
+    edges = host_graph(links).select(
+        F.col("src_host").alias("s"), F.col("dst_host").alias("t")
+    )
+    return (
+        pagerank(edges, iterations=5, damping=0.85)
+        .withColumnRenamed("id", "host")
+        .orderBy("host")
+    )
+
+
+def _host_pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled PageRank over the host-graph fixture's edge set —
+    same quantization discipline as _pagerank_sql, vertex set from
+    the edges, all CTEs MATERIALIZED (DuckDB re-inlines otherwise)."""
+    dmp = f"{damping:.17e}"
+    one_minus = f"{(1.0 - damping):.17e}"
+    cte = [
+        "links AS MATERIALIZED ("
+        "SELECT 'http://' || source || '.example.com/d/' || doc_id AS src_url,"
+        " unnest(['http://src' || ((doc_id * 7 + 1) % 23)"
+        " || '.example.com/d/' || (doc_id % 11),"
+        " 'HTTP://SRC' || ((doc_id * 13 + 5) % 23)"
+        " || '.Example.COM/d/' || (doc_id % 5)]) AS dst_url"
+        " FROM documents)",
+        "edges AS MATERIALIZED (SELECT DISTINCT"
+        " lower(regexp_extract(src_url,"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS s,"
+        " lower(regexp_extract(dst_url,"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS t"
+        " FROM links WHERE"
+        " lower(regexp_extract(src_url,"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) <>"
+        " lower(regexp_extract(dst_url,"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)))",
+        "nodes AS MATERIALIZED (SELECT s AS id FROM edges"
+        " UNION SELECT t FROM edges)",
+        "deg AS MATERIALIZED (SELECT s, count(*) AS deg FROM edges GROUP BY s)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT id,"
+        " round(1e0 / (SELECT n FROM nn), 12) AS r FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        cte.append(
+            f"c{k} AS MATERIALIZED (SELECT e.t AS id,"
+            f" sum(round(r.r / deg.deg, 12)) AS cin"
+            f" FROM r{p} r JOIN edges e ON e.s = r.id JOIN deg ON deg.s = e.s"
+            f" GROUP BY e.t)"
+        )
+        cte.append(
+            f"dang{k} AS MATERIALIZED (SELECT coalesce(sum(r.r), 0e0) AS dm"
+            f" FROM r{p} r LEFT JOIN deg ON deg.s = r.id WHERE deg.s IS NULL)"
+        )
+        cte.append(
+            f"r{k} AS MATERIALIZED (SELECT v.id, round("
+            f"{one_minus} / (SELECT n FROM nn)"
+            f" + {dmp} * round((SELECT dm FROM dang{k}), 12) / (SELECT n FROM nn)"
+            f" + {dmp} * coalesce(c.cin, 0e0), 12) AS r"
+            f" FROM r0 v LEFT JOIN c{k} c USING (id))"
+        )
+    return (
+        "WITH "
+        + ",\n ".join(cte)
+        + f"\n SELECT id AS host, round(r, 6) AS rank FROM r{iters} ORDER BY host"
+    )
+
+
 def q_event_sessions(spark, sf):
     """Gap-based sessionization of the events log (operators/
     sessions.py::session_stats, 6-hour gap — the fixture's median
@@ -1989,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "text_charlm": q_text_charlm,
         "host_graph": q_host_graph,
+        "host_pagerank": q_host_pagerank,
         "event_sessions": q_event_sessions,
         "frontier_budget": q_frontier_budget,
         "frontier_traps": q_frontier_traps,
@@ -3492,6 +3589,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_pagerank": _pagerank_sql(iters=5, damping=0.85),
         "link_hits": _hits_sql(iters=5),
+        "host_pagerank": _host_pagerank_sql(iters=5, damping=0.85),
         # recrawl_schedule: integer arithmetic end to end — `//` is
         # DuckDB's integer division (Spark side uses `div`); the
         # power-of-two clamp is the same CASE chain.

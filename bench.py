@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "text_decontaminate",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "text_boilerplate",
+    "text_charlm",
+    "search_bm25",
 ]
 
 
