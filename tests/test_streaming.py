@@ -274,3 +274,73 @@ def test_streaming_minhash_state_ttl(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(60)
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Replay the events fixture as a stream through a query restart;
+    event-time timeouts (watermark-driven) must close exactly the
+    batch session set. A far-future sentinel user pushes the final
+    watermark past every real session's deadline, so the closed-set ==
+    batch equality is total on real users."""
+    import datetime as dt
+
+    from walker_spark.operators.sessions import session_stats
+    from walker_spark.streaming.sessions import streaming_sessions
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts", "event_type", "event_id")
+        .cache()
+    )
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["duration_ms"], r["n_events"], r["n_types"])
+        for r in session_stats(ev, gap_minutes=360).collect()
+    }
+    assert batch
+
+    src, ck, sink = (str(tmp_path / d) for d in ("src", "ck", "sink"))
+    schema = "user_id long, ts timestamp, event_type string"
+    w1 = ev.filter(F.col("event_id") % 2 == 0).select("user_id", "ts", "event_type")
+    w2 = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "ts", "event_type")
+    sentinel = spark.createDataFrame(
+        [(999999, dt.datetime(2030, 1, 1), "flush")], schema
+    )
+    sentinel2 = spark.createDataFrame(
+        [(999998, dt.datetime(2031, 1, 1), "flush")], schema
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def emit(df, _epoch):
+            df.write.mode("append").parquet(sink)
+
+        q = (
+            streaming_sessions(stream, gap_minutes=360, watermark="0 seconds")
+            .writeStream.foreachBatch(emit)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    w1.write.mode("append").parquet(src)
+    run_once()  # open sessions ride the checkpoint across the restart
+    w2.write.mode("append").parquet(src)
+    run_once()
+    sentinel.write.mode("append").parquet(src)
+    run_once()  # watermark jumps past every real deadline
+    sentinel2.write.mode("append").parquet(src)
+    run_once()  # extra batch lets pending event-time timeouts fire
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["duration_ms"], r["n_events"], r["n_types"])
+        for r in spark.read.parquet(sink).collect()
+        if r["user_id"] < 20
+    }
+    ev.unpersist()
+    assert got == batch
