@@ -302,8 +302,11 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
 
     src, ck, sink = (str(tmp_path / d) for d in ("src", "ck", "sink"))
     schema = "user_id long, ts timestamp, event_type string"
-    w1 = ev.filter(F.col("event_id") % 2 == 0).select("user_id", "ts", "event_type")
-    w2 = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "ts", "event_type")
+    # waves split by TIME, not id parity: with watermark 0s anything
+    # behind the first wave's max event time would be dropped as late
+    cut = dt.datetime(2024, 1, 15)
+    w1 = ev.filter(F.col("ts") < cut).select("user_id", "ts", "event_type")
+    w2 = ev.filter(F.col("ts") >= cut).select("user_id", "ts", "event_type")
     sentinel = spark.createDataFrame(
         [(999999, dt.datetime(2030, 1, 1), "flush")], schema
     )
@@ -327,9 +330,12 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         )
         q.awaitTermination(300)
 
-    w1.write.mode("append").parquet(src)
+    # one file per wave: a wave's part-files carry no time order, and
+    # availableNow may split them into several batches — the watermark
+    # would jump mid-wave and drop time-earlier files as late data
+    w1.coalesce(1).write.mode("append").parquet(src)
     run_once()  # open sessions ride the checkpoint across the restart
-    w2.write.mode("append").parquet(src)
+    w2.coalesce(1).write.mode("append").parquet(src)
     run_once()
     sentinel.write.mode("append").parquet(src)
     run_once()  # watermark jumps past every real deadline

@@ -12,8 +12,11 @@ final watermark passed (proven by test_streaming_sessions). Events
 arriving later than the watermark are dropped by the engine before
 the state function sees them — the standard bounded-lateness trade.
 
-State shape: one row per OPEN session per user (start/end millis,
-counts, distinct-type set) — bounded by active users, partitioned by
+State shape: one row per OPEN session per user (start/end epoch
+MICROseconds — full parquet timestamp precision, so emitted sessions
+compare bit-for-bit with the batch op; only the timeout clock is
+millis, ceiled so a microsecond tail can't fire a tick early; counts
++ distinct-type set) — bounded by active users, partitioned by
 the user key in the state store, riding the checkpoint across
 restarts. Event-time timeouts (NOT processing-time: availableNow
 replay + processing-time timeouts never terminates — the live-caught
@@ -49,14 +52,14 @@ def streaming_sessions(
     """
     if gap_minutes <= 0:
         raise ValueError("gap_minutes must be > 0")
-    gap_ms = int(gap_minutes) * 60_000
+    gap_us = int(gap_minutes) * 60_000_000
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = stream.withWatermark(ts_col, watermark).select(
         F.col(user_col).cast("long").alias("user_id"),
         F.col(ts_col).alias("ts"),
-        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("ms"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
         F.col(type_col).cast("string").alias("etype"),
     )
 
@@ -65,9 +68,11 @@ def streaming_sessions(
             return pd.DataFrame(
                 {
                     "user_id": [key[0]],
-                    "session_start_ms": [start],
-                    "session_end_ms": [end],
-                    "duration_ms": [end - start],
+                    "session_start_us": [start],
+                    "session_end_us": [end],
+                    # match the batch op bit-for-bit: it truncates each
+                    # endpoint to millis BEFORE subtracting
+                    "duration_ms": [end // 1000 - start // 1000],
                     "n_events": [n],
                     "n_types": [len(types)],
                 }
@@ -88,11 +93,11 @@ def streaming_sessions(
             types = set()
         rows = []
         for pdf in pdfs:
-            rows.extend(zip(pdf["ms"], pdf["etype"]))
+            rows.extend(zip(pdf["us"], pdf["etype"]))
         rows.sort(key=lambda r: (int(r[0]), str(r[1])))
         for ms, et in rows:
             ms = int(ms)
-            if start is not None and ms - end > gap_ms:
+            if start is not None and ms - end > gap_us:
                 yield emit(start, end, n, types)
                 start, end, n, types = None, 0, 0, set()
             if start is None:
@@ -102,12 +107,14 @@ def streaming_sessions(
             if len(types) < max_types:
                 types.add(str(et))
         state.update((start, end, n, "\x00".join(sorted(types))))
-        state.setTimeoutTimestamp(end + gap_ms)
+        # the timeout clock is epoch MILLIS: ceil so a microsecond tail
+        # can never fire one watermark tick early
+        state.setTimeoutTimestamp(end // 1000 + gap_us // 1000 + 1)
 
     out = ev.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=(
-            "user_id long, session_start_ms long, session_end_ms long,"
+            "user_id long, session_start_us long, session_end_us long,"
             " duration_ms long, n_events long, n_types long"
         ),
         stateStructType="start long, end long, n long, types string",
@@ -116,8 +123,8 @@ def streaming_sessions(
     )
     return out.select(
         "user_id",
-        F.timestamp_millis(F.col("session_start_ms")).alias("session_start"),
-        F.timestamp_millis(F.col("session_end_ms")).alias("session_end"),
+        F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("session_end_us")).alias("session_end"),
         "duration_ms",
         "n_events",
         "n_types",
