@@ -1293,6 +1293,42 @@ def q_event_sessions(spark, sf):
     ).orderBy("user_id", "session_seq")
 
 
+def q_text_scripts(spark, sf):
+    """Unicode-script triage (functions/text.py::script_metrics): the
+    ASCII word-soup gets a doc_id-keyed multilingual suffix (Cyrillic /
+    Han / Arabic / Greek / none) injected identically on both sides;
+    Spark counts with Java \\p{IsX} script properties, the oracle with
+    RE2 \\p{X} — two independent spellings of the same Unicode Script
+    property must agree on every count, argmax, and 4-dec fraction."""
+    from walker_spark.functions.text import script_metrics
+
+    did = F.col("doc_id")
+    # multilingual arms keep only a 5-char latin stub, so the injected
+    # script WINS the argmax there (real teeth) while %5==0 docs stay
+    # pure latin and mixed stubs exercise the tie-break/frac math
+    injected = F.when(
+        did % 5 == 1, F.concat(F.substring("text", 1, 5), F.lit(" привет мир"))
+    ).when(
+        did % 5 == 2, F.concat(F.substring("text", 1, 5), F.lit(" 漢字文檔 支持"))
+    ).when(
+        did % 5 == 3, F.concat(F.substring("text", 1, 5), F.lit(" مرحبا بالعالم"))
+    ).when(
+        did % 5 == 4, F.concat(F.substring("text", 1, 5), F.lit(" γειά σου κόσμε"))
+    ).otherwise(F.col("text"))
+    d = _t(spark, sf, "documents").withColumn("text", injected)
+    return script_metrics(d).select(
+        "doc_id",
+        "n_arabic",
+        "n_cyrillic",
+        "n_greek",
+        "n_han",
+        "n_latin",
+        "n_scripted",
+        "dominant_script",
+        "dominant_frac",
+    ).orderBy("doc_id")
+
+
 def q_frontier_budget(spark, sf):
     """Largest-remainder host budget apportionment (operators/
     frontier.py::allocate_host_budget): 997 global fetch slots split
@@ -2089,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "frontier_budget": q_frontier_budget,
         "frontier_traps": q_frontier_traps,
+        "text_scripts": q_text_scripts,
         "search_postings": q_search_postings,
         "search_bm25": q_search_bm25,
         "text_span_dedup": q_text_span_dedup,
@@ -3152,6 +3189,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
             FROM s GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        # text_scripts: RE2 \p{Script} spellings — an independent
+        # formulation of the same Unicode property the Spark side
+        # counts with Java \p{IsScript}; same injection, same argmax
+        # (lexicographic names, strict >), same 4-dec half-up frac.
+        "text_scripts": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 5 = 1
+                         THEN substr(text, 1, 5) || ' привет мир'
+                       WHEN doc_id % 5 = 2
+                         THEN substr(text, 1, 5) || ' 漢字文檔 支持'
+                       WHEN doc_id % 5 = 3
+                         THEN substr(text, 1, 5) || ' مرحبا بالعالم'
+                       WHEN doc_id % 5 = 4
+                         THEN substr(text, 1, 5) || ' γειά σου κόσμε'
+                       ELSE text
+                     END AS t
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t, '\p{Arabic}'))
+                          AS BIGINT) AS n_arabic,
+                     CAST(len(regexp_extract_all(t, '\p{Cyrillic}'))
+                          AS BIGINT) AS n_cyrillic,
+                     CAST(len(regexp_extract_all(t, '\p{Greek}'))
+                          AS BIGINT) AS n_greek,
+                     CAST(len(regexp_extract_all(t, '\p{Han}'))
+                          AS BIGINT) AS n_han,
+                     CAST(len(regexp_extract_all(t, '\p{Latin}'))
+                          AS BIGINT) AS n_latin
+              FROM inj
+            ), d AS (
+              SELECT *,
+                     n_arabic + n_cyrillic + n_greek + n_han + n_latin
+                       AS n_scripted,
+                     CASE
+                       WHEN n_latin > greatest(n_arabic, n_cyrillic,
+                                               n_greek, n_han)
+                         THEN 'latin'
+                       WHEN n_han > greatest(n_arabic, n_cyrillic, n_greek)
+                         THEN 'han'
+                       WHEN n_greek > greatest(n_arabic, n_cyrillic)
+                         THEN 'greek'
+                       WHEN n_cyrillic > n_arabic THEN 'cyrillic'
+                       WHEN n_arabic > 0 THEN 'arabic'
+                       ELSE 'none'
+                     END AS dominant_script,
+                     greatest(n_arabic, n_cyrillic, n_greek, n_han, n_latin)
+                       AS best
+              FROM c
+            )
+            SELECT doc_id, n_arabic, n_cyrillic, n_greek, n_han, n_latin,
+                   CAST(n_scripted AS BIGINT) AS n_scripted,
+                   dominant_script,
+                   CASE WHEN n_scripted > 0
+                        THEN floor(best / CAST(n_scripted AS DOUBLE)
+                                   * 10000 + 5e-1) / 10000
+                        ELSE 0e0 END AS dominant_frac
+            FROM d ORDER BY doc_id
         """,
         # frontier_budget: Hamilton apportionment in BIGINTs — DuckDB
         # `//`/`%` mirror Spark's `div`/`%`; winners ranked by

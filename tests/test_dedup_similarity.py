@@ -1014,3 +1014,28 @@ def test_charlm_partitioning_invariant(spark):
     assert {(r["doc_id"], r["avg_nll"], r["ppl"]) for r in a} == {
         (r["doc_id"], r["avg_nll"], r["ppl"]) for r in b
     }
+
+
+def test_script_metrics(spark):
+    from walker_spark.functions.text import script_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world"),
+            (1, "привет мир ok"),       # cyrillic dominates, latin stub
+            (2, "漢字 abc 漢字漢字"),     # han dominates
+            (3, "12345 !!!"),            # no scripted letters
+            (4, "abcαβγ"),               # tie 3-3 -> lexicographic: greek
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in script_metrics(docs).collect()}
+    assert out[0]["dominant_script"] == "latin" and out[0]["dominant_frac"] == 1.0
+    assert out[1]["dominant_script"] == "cyrillic" and out[1]["n_latin"] == 2
+    assert out[2]["dominant_script"] == "han" and out[2]["n_han"] == 6
+    assert out[3]["dominant_script"] == "none" and out[3]["dominant_frac"] == 0.0
+    assert out[3]["n_scripted"] == 0
+    # exact tie: strict-> keeps the lexicographically FIRST name seen
+    assert out[4]["n_latin"] == 3 and out[4]["n_greek"] == 3
+    assert out[4]["dominant_script"] == "greek"
+    assert out[4]["dominant_frac"] == 0.5

@@ -28,6 +28,8 @@ __all__ = [
     "pii_scrub",
     "remove_boilerplate",
     "charlm_metrics",
+    "script_metrics",
+    "SCRIPT_PATTERNS",
     "cross_doc_span_stats",
     "pack_sequences",
     "pack_examples",
@@ -577,6 +579,60 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
         cur = F.regexp_replace(cur, pat, repl)
     return out.withColumn(f"{text_col}_scrubbed", cur)
+
+
+SCRIPT_PATTERNS = {
+    # Java regex script properties (Spark side). The DuckDB oracle uses
+    # RE2's \p{Latin}-style spellings — an INDEPENDENT formulation of
+    # the same Unicode Script property, which is the point.
+    "latin": r"\p{IsLatin}",
+    "cyrillic": r"\p{IsCyrillic}",
+    "han": r"\p{IsHan}",
+    "arabic": r"\p{IsArabic}",
+    "greek": r"\p{IsGreek}",
+}
+
+
+def script_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-script composition per document — the multilingual
+    triage pass that runs BEFORE language ID in a web-corpus pipeline
+    (CJK/Cyrillic/Arabic text defeats stopword-based langid; script
+    detection routes each doc to the right model, and mixed-script
+    docs are a mojibake/spam signal).
+
+    Per doc: ``n_<script>`` counts for :data:`SCRIPT_PATTERNS`,
+    ``dominant_script`` (argmax, lexicographic tie-break, ``none``
+    when no scripted letters), and ``dominant_frac`` (dominant /
+    total scripted letters, 4-dec half-up).
+
+    Pure ``regexp_count`` projections — whole-stage codegen, zero
+    shuffle, pipelineable with every other curation gate.
+    """
+    out = df
+    names = sorted(SCRIPT_PATTERNS)
+    for name in names:
+        out = out.withColumn(
+            f"n_{name}",
+            F.regexp_count(F.col(text_col), F.lit(SCRIPT_PATTERNS[name])).cast(
+                "long"
+            ),
+        )
+    total = sum((F.col(f"n_{n}") for n in names[1:]), F.col(f"n_{names[0]}"))
+    dominant = F.lit("none")
+    best = F.lit(0)
+    for name in names:  # lexicographic order + strict > == deterministic
+        cond = F.col(f"n_{name}") > best
+        dominant = F.when(cond, F.lit(name)).otherwise(dominant)
+        best = F.when(cond, F.col(f"n_{name}")).otherwise(best)
+    return out.withColumn("n_scripted", total.cast("long")).withColumn(
+        "dominant_script", dominant
+    ).withColumn(
+        "dominant_frac",
+        F.when(total > 0, F.floor(best / total * 10000 + F.lit(0.5)) / 10000)
+        .otherwise(F.lit(0.0)),
+    )
 
 
 def charlm_metrics(
