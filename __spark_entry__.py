@@ -1293,6 +1293,34 @@ def q_event_sessions(spark, sf):
     ).orderBy("user_id", "session_seq")
 
 
+def q_host_registered_domains(spark, sf):
+    """eTLD+1 with real Public Suffix List semantics (functions/
+    hosts.py::registered_domains): longest-rule / wildcard (*.ck) /
+    exception (!www.ck) / implicit-* fallback, all exercised by the
+    doc_id%8 host fixture. The oracle re-implements the PSL winner
+    pick relationally (suffix explode → rule join → exc/eff/key
+    ranking) — an independent second implementation of the spec."""
+    from walker_spark.functions.hosts import registered_domains
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 8 == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".co.uk")))
+        .when(did % 8 == 1, F.concat(F.col("source"), F.lit(".com")))
+        .when(did % 8 == 2, F.concat(F.lit("a.b."), F.col("source"), F.lit(".github.io")))
+        .when(did % 8 == 3, F.concat(F.lit("x."), F.col("source"), F.lit(".ck")))
+        .when(did % 8 == 4, F.lit("www.ck"))
+        .when(did % 8 == 5, F.concat(F.lit("deep.sub."), F.col("source"), F.lit(".com.au")))
+        .when(did % 8 == 6, F.col("source"))
+        .otherwise(F.concat(F.lit("blog."), F.col("source"), F.lit(".blogspot.com")))
+    )
+    return (
+        registered_domains(d.select("doc_id", host.alias("host")))
+        .select("doc_id", "host", "public_suffix", "registered_domain")
+        .orderBy("doc_id")
+    )
+
+
 def q_text_scripts(spark, sf):
     """Unicode-script triage (functions/text.py::script_metrics): the
     ASCII word-soup gets a doc_id-keyed multilingual suffix (Cyrillic /
@@ -1906,6 +1934,94 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
     )
 
 
+def _psl_oracle_sql() -> str:
+    """PSL winner pick re-implemented relationally: suffix explode →
+    rule join (wildcards need a spare label) → (exception, effective
+    labels, key) ranking → slice the suffix/registered domain out of
+    the label list. Rule DATA is shared with the Spark side (it's the
+    fixture); the ALGORITHM is an independent second implementation."""
+    from walker_spark.functions.hosts import DEFAULT_PUBLIC_SUFFIXES
+
+    vals = []
+    for r in DEFAULT_PUBLIC_SUFFIXES:
+        r = r.strip().lower()
+        if r.startswith("!"):
+            vals.append(f"('{r[1:]}', 0, 1)")
+        elif r.startswith("*."):
+            vals.append(f"('{r[2:]}', 1, 0)")
+        else:
+            vals.append(f"('{r}', 0, 0)")
+    return r"""
+        WITH hosts AS MATERIALIZED (
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id % 8 = 0 THEN 'www.' || source || '.co.uk'
+                   WHEN doc_id % 8 = 1 THEN source || '.com'
+                   WHEN doc_id % 8 = 2 THEN 'a.b.' || source || '.github.io'
+                   WHEN doc_id % 8 = 3 THEN 'x.' || source || '.ck'
+                   WHEN doc_id % 8 = 4 THEN 'www.ck'
+                   WHEN doc_id % 8 = 5 THEN 'deep.sub.' || source || '.com.au'
+                   WHEN doc_id % 8 = 6 THEN source
+                   ELSE 'blog.' || source || '.blogspot.com'
+                 END AS host
+          FROM documents
+        ), rules(key, wild, exc) AS MATERIALIZED (
+          VALUES __VALS__
+        ), hp AS MATERIALIZED (
+          SELECT DISTINCT host, len(string_split(host, '.')) AS n
+          FROM hosts
+        ), ex AS MATERIALIZED (
+          SELECT host, n,
+                 unnest(list_transform(range(1, n + 1),
+                   i -> array_to_string(
+                          list_slice(string_split(host, '.'),
+                                     CAST(i AS INT), CAST(n AS INT)), '.')))
+                   AS key,
+                 unnest(list_transform(range(1, n + 1), i -> n - i + 1))
+                   AS nl
+          FROM hp
+        ), m AS MATERIALIZED (
+          SELECT e.host, e.n, e.key, e.nl, r.wild, r.exc
+          FROM ex e JOIN rules r ON r.key = e.key
+          WHERE r.wild = 0 OR e.n > e.nl
+        ), w AS MATERIALIZED (
+          SELECT *,
+                 row_number() OVER (PARTITION BY host
+                   ORDER BY exc DESC, (nl + wild) DESC, key DESC) AS rn
+          FROM m
+        ), ann AS MATERIALIZED (
+          SELECT host,
+                 array_to_string(list_slice(string_split(host, '.'),
+                   CAST(n - (CASE WHEN exc = 1 THEN nl - 1
+                                  ELSE nl + wild END) + 1 AS INT),
+                   CAST(n AS INT)), '.') AS ps,
+                 CASE WHEN n > (CASE WHEN exc = 1 THEN nl - 1
+                                     ELSE nl + wild END)
+                      THEN array_to_string(list_slice(string_split(host, '.'),
+                        CAST(n - (CASE WHEN exc = 1 THEN nl - 1
+                                       ELSE nl + wild END) AS INT),
+                        CAST(n AS INT)), '.')
+                 END AS rd
+          FROM w WHERE rn = 1
+        )
+        SELECT h.doc_id, h.host,
+               coalesce(a.ps,
+                 list_extract(string_split(h.host, '.'),
+                              len(string_split(h.host, '.'))))
+                 AS public_suffix,
+               CASE WHEN a.host IS NOT NULL THEN a.rd
+                    WHEN len(string_split(h.host, '.')) > 1
+                      THEN array_to_string(list_slice(
+                             string_split(h.host, '.'),
+                             CAST(len(string_split(h.host, '.')) - 1 AS INT),
+                             CAST(len(string_split(h.host, '.')) AS INT)),
+                             '.')
+               END AS registered_domain
+        FROM hosts h LEFT JOIN ann a USING (host)
+        ORDER BY h.doc_id
+    """.replace("__VALS__", ", ".join(vals))
+
+
 def _hits_sql(iters: int = 5) -> str:
     """Unrolled HITS oracle on the shared documents edge set: scores
     live on a 1e-12 grid carried as scaled BIGINTs, so every sum is
@@ -2126,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_budget": q_frontier_budget,
         "frontier_traps": q_frontier_traps,
         "text_scripts": q_text_scripts,
+        "host_registered_domains": q_host_registered_domains,
         "search_postings": q_search_postings,
         "search_bm25": q_search_bm25,
         "text_span_dedup": q_text_span_dedup,
@@ -3688,6 +3805,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _pagerank_sql(iters=5, damping=0.85),
         "link_hits": _hits_sql(iters=5),
         "host_pagerank": _host_pagerank_sql(iters=5, damping=0.85),
+        "host_registered_domains": _psl_oracle_sql(),
         # recrawl_schedule: integer arithmetic end to end — `//` is
         # DuckDB's integer division (Spark side uses `div`); the
         # power-of-two clamp is the same CASE chain.

@@ -61,3 +61,43 @@ def test_host_cap_and_stats(spark):
     assert st["src0.example"]["n_hosts"] == 3
     total_tok = sum(1 + i % 5 for i in range(60) if i % 2 == 0)
     assert st["src0.example"]["n_tokens"] == total_tok
+
+
+def test_registered_domains_psl_semantics(spark):
+    from walker_spark.functions.hosts import registered_domains
+
+    hosts = spark.createDataFrame(
+        [
+            ("www.example.co.uk",),   # longest rule co.uk beats uk
+            ("example.co.uk",),
+            ("co.uk",),               # bare public suffix -> NULL rd
+            ("deep.a.example.com",),
+            ("tenant.github.io",),    # private-domain rule
+            ("sub.tenant.github.io",),
+            ("a.b.foo.ck",),          # wildcard *.ck -> ps = foo.ck
+            ("foo.ck",),              # host IS a wildcard public suffix
+            ("www.ck",),              # exception !www.ck -> ps=ck, rd=www.ck
+            ("sub.www.ck",),
+            ("WWW.EXAMPLE.COM",),     # case folding
+            ("unknowntld",),          # single label, no rule
+            ("x.unknowntld",),        # implicit * rule
+        ],
+        "host string",
+    )
+    out = {r["host"]: (r["public_suffix"], r["registered_domain"])
+           for r in registered_domains(hosts).collect()}
+    assert out["www.example.co.uk"] == ("co.uk", "example.co.uk")
+    assert out["example.co.uk"] == ("co.uk", "example.co.uk")
+    assert out["co.uk"] == ("co.uk", None)
+    assert out["deep.a.example.com"] == ("com", "example.com")
+    assert out["tenant.github.io"] == ("github.io", "tenant.github.io")
+    assert out["sub.tenant.github.io"] == ("github.io", "tenant.github.io")
+    # PSL: rule *.ck has TWO labels — the public suffix is the matched
+    # two labels (foo.ck), the registered domain one label more
+    assert out["a.b.foo.ck"] == ("foo.ck", "b.foo.ck")
+    assert out["foo.ck"] == ("foo.ck", None)
+    assert out["www.ck"] == ("ck", "www.ck")
+    assert out["sub.www.ck"] == ("ck", "www.ck")
+    assert out["WWW.EXAMPLE.COM"] == ("com", "example.com")
+    assert out["unknowntld"] == ("unknowntld", None)
+    assert out["x.unknowntld"] == ("unknowntld", "x.unknowntld")

@@ -22,7 +22,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["host_suffixes_expr", "host_blocklist_filter", "host_cap", "host_stats"]
+__all__ = [
+    "host_suffixes_expr",
+    "host_blocklist_filter",
+    "host_cap",
+    "host_stats",
+    "registered_domains",
+    "DEFAULT_PUBLIC_SUFFIXES",
+]
 
 
 def host_suffixes_expr(host: Column, min_labels: int = 2) -> Column:
@@ -124,4 +131,130 @@ def host_stats(
             F.sum("__tok").alias("n_tokens"),
             F.count_distinct("__host").alias("n_hosts"),
         )
+    )
+
+
+# A representative embedded subset of the public suffix list
+# (publicsuffix.org, MPL-licensed DATA — these are rule STRINGS, the
+# algorithm below is the PSL spec's, reimplemented). Swap in the full
+# list for production; the matcher is list-size-agnostic (broadcast).
+DEFAULT_PUBLIC_SUFFIXES = [
+    "com", "org", "net", "edu", "gov", "int", "mil", "io", "ai", "dev",
+    "de", "fr", "it", "nl", "es", "pl", "ru", "cn", "br", "in",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "jp", "co.jp", "ne.jp", "or.jp",
+    "au", "com.au", "org.au", "net.au",
+    "com.cn", "com.br",
+    "github.io", "blogspot.com", "s3.amazonaws.com",
+    "*.ck", "!www.ck",
+]
+
+
+def registered_domains(
+    df: DataFrame,
+    host_col: str = "host",
+    suffixes: list[str] | None = None,
+) -> DataFrame:
+    """eTLD+1 extraction with REAL Public Suffix List semantics — the
+    publicsuffix.org algorithm: among matching rules the exception
+    rule prevails, else the rule with the most labels; a wildcard
+    (``*.ck``) extends the matched suffix by one host label; an
+    exception (``!www.ck``) strips the rule's leftmost label; no match
+    falls back to the implicit ``*`` rule (rightmost label). Adds
+    ``public_suffix`` and ``registered_domain`` (NULL when the host IS
+    a bare public suffix).
+
+    This is what per-domain rollups/caps should key on — naive
+    "last two labels" regexes put every ``*.co.uk`` site under
+    ``co.uk`` and split ``github.io`` tenants wrongly.
+
+    Scale shape: rules compile to a broadcast match table keyed by
+    their LITERAL tail; each host explodes into its O(labels)
+    suffixes (the same bounded explode as the blocklist) and
+    inner-joins the broadcast; the winner is picked with one max_by
+    over (is_exception, effective labels, rule) — corpus rows never
+    shuffle, the aggregate is host-cardinality.
+    """
+    rules = []
+    for r in suffixes if suffixes is not None else DEFAULT_PUBLIC_SUFFIXES:
+        r = r.strip().lower()
+        if r.startswith("!"):
+            rules.append((r[1:], 0, 1))      # key, wild, exception
+        elif r.startswith("*."):
+            rules.append((r[2:], 1, 0))
+        else:
+            rules.append((r, 0, 0))
+    spark = df.sparkSession
+    rtab = F.broadcast(
+        spark.createDataFrame(rules, "__key string, __wild int, __exc int")
+    )
+    host = F.lower(F.col(host_col))
+    base = df.select(host.alias("__host")).distinct()
+    bparts = F.split(F.col("__host"), r"\.")
+    bn = F.size(bparts)
+    # every label-suffix, INCLUDING the full host (an exception rule
+    # like !www.ck must match the whole host www.ck)
+    cands = F.transform(
+        F.sequence(F.lit(1), bn),
+        lambda i: F.struct(
+            F.concat_ws(".", F.slice(bparts, i, bn - i + 1)).alias("sfx"),
+            (bn - i + 1).alias("nl"),
+        ),
+    )
+    exploded = base.select(
+        "__host", bn.alias("__n"), F.explode(cands).alias("c")
+    ).select("__host", "__n", F.col("c.sfx").alias("__key"), F.col("c.nl").alias("__nl"))
+    joined = exploded.join(rtab, "__key")
+    # a wildcard rule only matches when there IS an extra label
+    joined = joined.filter((F.col("__wild") == 0) | (F.col("__n") > F.col("__nl")))
+    picked = joined.groupBy("__host", "__n").agg(
+        F.max_by(
+            F.struct("__key", "__wild", "__exc", "__nl"),
+            F.struct(
+                F.col("__exc"),
+                (F.col("__nl") + F.col("__wild")).alias("eff"),
+                F.col("__key"),
+            ),
+        ).alias("w")
+    )
+    hp = F.split(F.col("__host"), r"\.")
+    ps_labels = F.when(F.col("w.__exc") == 1, F.col("w.__nl") - 1).otherwise(
+        F.col("w.__nl") + F.col("w.__wild")
+    )
+    annotated = picked.select(
+        "__host",
+        "__n",
+        F.concat_ws(
+            ".", F.slice(hp, F.col("__n") - ps_labels + 1, ps_labels)
+        ).alias("public_suffix"),
+        F.when(
+            F.col("__n") > ps_labels,
+            F.concat_ws(
+                ".", F.slice(hp, F.col("__n") - ps_labels, ps_labels + 1)
+            ),
+        ).alias("registered_domain"),
+    )
+    # implicit "*" rule for unmatched hosts: rightmost label
+    fparts = F.split(host, r"\.")
+    fn = F.size(fparts)
+    fallback_ps = F.element_at(fparts, -1)
+    fallback_rd = F.when(
+        fn > 1, F.concat_ws(".", F.slice(fparts, fn - 1, 2))
+    )
+    return (
+        df.join(
+            annotated.withColumnRenamed("__host", "__h"),
+            F.lower(F.col(host_col)) == F.col("__h"),
+            "left",
+        )
+        .withColumn(
+            "public_suffix", F.coalesce("public_suffix", fallback_ps)
+        )
+        .withColumn(
+            "registered_domain",
+            F.when(
+                F.col("__h").isNotNull(), F.col("registered_domain")
+            ).otherwise(fallback_rd),
+        )
+        .drop("__h", "__n")
     )
