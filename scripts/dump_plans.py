@@ -119,6 +119,25 @@ def main():
                      "PushedFilters must show the predicate at the scan.",
                      explain_str(docs.select("doc_id", "lang"))))
 
+    sections.append(("BM25 top-k retrieval (search_bm25)",
+                     "the query-term document-frequency side is a BroadcastHashJoin "
+                     "(a handful of terms); the corpus-scale work is one map-side-"
+                     "combined doc-length groupBy; the global top-k compiles to "
+                     "TakeOrderedAndProject — per-partition partial top-k, no full sort.",
+                     explain_str(e.q_search_bm25(spark, sf))))
+
+    sections.append(("Boilerplate line removal (text_boilerplate)",
+                     "the line-frequency branch exchanges (group, md5(line)) pairs only "
+                     "— raw line text appears in exactly ONE exchange, the per-doc "
+                     "reassembly groupBy; group doc totals broadcast back.",
+                     explain_str(e.q_text_boilerplate(spark, sf))))
+
+    sections.append(("Char-trigram LM scoring (text_charlm)",
+                     "both model tables (gram counts, context counts) and the charset "
+                     "size are vocabulary-sized and broadcast; per-doc totals are "
+                     "integer sums on the quantized-NLL grid.",
+                     explain_str(e.q_text_charlm(spark, sf))))
+
     out = ["# PLANS — physical-plan evidence",
            "",
            "Generated by `scripts/dump_plans.py` (`df.explain('formatted')`).",
