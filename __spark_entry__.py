@@ -1321,6 +1321,23 @@ def q_host_registered_domains(spark, sf):
     )
 
 
+def q_quality_percentile_cut(spark, sf):
+    """Corpus-adaptive quality gate (functions/text.py::
+    percentile_cut): cut at the exact interpolated p25 of the
+    whitespace token count — Spark's percentile() vs DuckDB's
+    quantile_cont(), the same cross-engine pair a12_quantiles already
+    pins; strict > drops threshold ties on both sides."""
+    from walker_spark.functions.text import percentile_cut
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+        ).cast("long").alias("n_tokens"),
+    )
+    return percentile_cut(d, "n_tokens", q=0.25).orderBy("doc_id")
+
+
 def q_text_scripts(spark, sf):
     """Unicode-script triage (functions/text.py::script_metrics): the
     ASCII word-soup gets a doc_id-keyed multilingual suffix (Cyrillic /
@@ -2243,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_traps": q_frontier_traps,
         "text_scripts": q_text_scripts,
         "host_registered_domains": q_host_registered_domains,
+        "quality_percentile_cut": q_quality_percentile_cut,
         "search_postings": q_search_postings,
         "search_bm25": q_search_bm25,
         "text_span_dedup": q_text_span_dedup,
@@ -3306,6 +3324,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
             FROM s GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        "quality_percentile_cut": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                          x -> x <> '')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ), t AS (
+              SELECT round(quantile_cont(n_tokens, 0.25), 6) AS threshold
+              FROM d
+            )
+            SELECT d.doc_id, d.n_tokens, t.threshold,
+                   d.n_tokens > t.threshold AS keep
+            FROM d, t ORDER BY d.doc_id
         """,
         # text_scripts: RE2 \p{Script} spellings — an independent
         # formulation of the same Unicode property the Spark side

@@ -1039,3 +1039,25 @@ def test_script_metrics(spark):
     assert out[4]["n_latin"] == 3 and out[4]["n_greek"] == 3
     assert out[4]["dominant_script"] == "greek"
     assert out[4]["dominant_frac"] == 0.5
+
+
+def test_percentile_cut(spark):
+    from walker_spark.functions.text import percentile_cut
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "doc_id long, score double"
+    )
+    out = percentile_cut(df, "score", q=0.25).collect()
+    thr = out[0]["threshold"]
+    # exact interpolated p25 of 1..100 = 25.75
+    assert thr == 25.75
+    kept = {r["doc_id"] for r in out if r["keep"]}
+    assert kept == set(range(26, 101))
+
+    # keep_below flips the gate; strictness drops threshold ties
+    low = {r["doc_id"] for r in percentile_cut(df, "score", q=0.5, keep_above=False).collect() if r["keep"]}
+    assert low == set(range(1, 51))  # p50 = 50.5, strictly below
+
+    ties = spark.createDataFrame([(i, 5.0) for i in range(10)], "doc_id long, score double")
+    t_out = percentile_cut(ties, "score", q=0.25).collect()
+    assert all(not r["keep"] for r in t_out) and t_out[0]["threshold"] == 5.0

@@ -29,6 +29,7 @@ __all__ = [
     "remove_boilerplate",
     "charlm_metrics",
     "script_metrics",
+    "percentile_cut",
     "SCRIPT_PATTERNS",
     "cross_doc_span_stats",
     "pack_sequences",
@@ -579,6 +580,41 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
         cur = F.regexp_replace(cur, pat, repl)
     return out.withColumn(f"{text_col}_scrubbed", cur)
+
+
+def percentile_cut(
+    df: DataFrame,
+    score_col: str,
+    q: float = 0.25,
+    keep_above: bool = True,
+) -> DataFrame:
+    """Corpus-adaptive threshold gate — the CCNet trick of cutting at a
+    PERCENTILE of the corpus's own score distribution instead of a
+    fixed constant (fixed thresholds rot as the corpus mix shifts;
+    percentile cuts are self-calibrating). Adds ``threshold`` (the
+    exact interpolated q-quantile of ``score_col``, 6-dec) and ``keep``
+    (score strictly above it when ``keep_above``, else strictly below).
+
+    Scale shape: ONE extra aggregate over the score column (Spark's
+    exact ``percentile`` — a map-side-combined digest, not a sort)
+    broadcast back as a single-row cross join — no driver collect, no
+    second full scan of anything but the score column. Strictness is
+    deliberate: ties AT the threshold drop, so ``keep`` selects at most
+    ``1-q`` of the corpus whatever the distribution."""
+    if not 0.0 < q < 1.0:
+        raise ValueError("q must be in (0, 1)")
+    thr = df.agg(
+        F.round(F.percentile(F.col(score_col), F.lit(float(q))), 6).alias(
+            "threshold"
+        )
+    )
+    out = df.crossJoin(F.broadcast(thr))
+    cond = (
+        F.col(score_col) > F.col("threshold")
+        if keep_above
+        else F.col(score_col) < F.col("threshold")
+    )
+    return out.withColumn("keep", cond)
 
 
 SCRIPT_PATTERNS = {
