@@ -1321,6 +1321,56 @@ def q_host_registered_domains(spark, sf):
     )
 
 
+def q_frontier_priorities(spark, sf):
+    """The composed scheduler key (operators/frontier.py::
+    frontier_priorities): host-prior × harmonic depth decay, trap
+    exclusion via the SAME url_trap_templates relation the traps
+    oracle pins — fully integer after one quantization. Host ranks are
+    a deterministic host-length-derived stand-in (the production input
+    is host_pagerank output); the oracle recomposes template, trap
+    counts, rank, and the div arithmetic end to end."""
+    from walker_spark.operators.frontier import (
+        frontier_priorities,
+        url_host_expr,
+        url_trap_templates,
+    )
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://"),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(did % 13 == 0, F.lit("/about")).otherwise(
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit("/item/"), (did % 7).cast("string"), F.lit("/view")),
+            ).otherwise(F.concat(F.lit("/page/"), did.cast("string")))
+        ),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("?session="), did.cast("string"), F.lit("&lang=en")),
+        ).otherwise(F.lit("")),
+    )
+    frontier = d.select(
+        "doc_id", url.alias("url"), (did % 4).cast("long").alias("depth")
+    )
+    traps = url_trap_templates(frontier.select("url"), trap_threshold=10)
+    ranks = (
+        frontier.select(url_host_expr(F.col("url")).alias("host"))
+        .distinct()
+        .select(
+            "host",
+            F.round((F.length("host") % 7 + 1) / 10.0, 6).alias("rank"),
+        )
+    )
+    return (
+        frontier_priorities(frontier, host_ranks=ranks, trap_templates=traps)
+        .select("doc_id", "url", "host", "depth", "is_trap", "priority")
+        .orderBy("doc_id")
+    )
+
+
 def q_quality_percentile_cut(spark, sf):
     """Corpus-adaptive quality gate (functions/text.py::
     percentile_cut): cut at the exact interpolated p25 of the
@@ -2261,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scripts": q_text_scripts,
         "host_registered_domains": q_host_registered_domains,
         "quality_percentile_cut": q_quality_percentile_cut,
+        "frontier_priorities": q_frontier_priorities,
         "search_postings": q_search_postings,
         "search_bm25": q_search_bm25,
         "text_span_dedup": q_text_span_dedup,
@@ -3324,6 +3375,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
             FROM s GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        # frontier_priorities: template/host/trap relations recomposed
+        # (same CTE shapes as frontier_traps), rank from host length,
+        # priority = floor(rank*1e6+0.5) // (depth+1), traps -> -1.
+        "frontier_priorities": """
+            WITH u AS (
+              SELECT doc_id,
+                     'http://' || source || '.example.com'
+                     || CASE WHEN doc_id % 13 = 0 THEN '/about'
+                             WHEN doc_id % 3 = 0
+                               THEN '/item/' || (doc_id % 7) || '/view'
+                             ELSE '/page/' || doc_id END
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN '?session=' || doc_id || '&lang=en'
+                             ELSE '' END AS url,
+                     CAST(doc_id % 4 AS BIGINT) AS depth
+              FROM documents
+            ), p AS (
+              SELECT doc_id, url, depth,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                       1)) AS host,
+                     regexp_replace(
+                       regexp_replace(url, '#.*$', ''),
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
+              FROM u
+            ), t AS (
+              SELECT doc_id, url, depth, host,
+                     regexp_replace(
+                       CASE WHEN regexp_replace(rest, '\\?.*$', '') = ''
+                            THEN '/'
+                            ELSE regexp_replace(rest, '\\?.*$', '') END,
+                       '[0-9]+', 'N', 'g')
+                     || CASE WHEN position('?' IN rest) > 0 THEN
+                          '?' || array_to_string(list_sort(list_transform(
+                            list_filter(string_split(
+                              regexp_replace(rest, '^[^?]*\\?', ''), '&'),
+                              x -> x <> ''),
+                            x -> regexp_replace(x, '=.*$', ''))), '&')
+                        ELSE '' END AS template
+              FROM p
+            ), traps AS (
+              SELECT host, template
+              FROM (SELECT DISTINCT host, template, url FROM t)
+              GROUP BY host, template HAVING count(*) >= 10
+            ), ranks AS (
+              SELECT host, round((length(host) % 7 + 1) / 10.0, 6) AS rank
+              FROM (SELECT DISTINCT host FROM t)
+            )
+            SELECT t.doc_id, t.url, t.host, t.depth,
+                   (tr.host IS NOT NULL) AS is_trap,
+                   CAST(CASE WHEN tr.host IS NOT NULL THEN -1
+                        ELSE CAST(floor(coalesce(r.rank, 0) * 1000000 + 0.5)
+                                  AS BIGINT) // (t.depth + 1)
+                   END AS BIGINT) AS priority
+            FROM t
+            LEFT JOIN traps tr
+              ON tr.host = t.host AND tr.template = t.template
+            LEFT JOIN ranks r ON r.host = t.host
+            ORDER BY t.doc_id
         """,
         "quality_percentile_cut": r"""
             WITH d AS (

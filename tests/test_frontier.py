@@ -74,3 +74,38 @@ def test_url_trap_templates(spark):
     assert q["n_urls"] == 5 and not q["is_trap"]
     # fragment dropped; host split
     assert out[("other.com", "/cal/N/N/N")]["n_urls"] == 1
+
+
+def test_frontier_priorities(spark):
+    from walker_spark.operators.frontier import (
+        frontier_priorities,
+        url_trap_templates,
+    )
+
+    frontier = spark.createDataFrame(
+        [
+            ("http://a.com/cal/1/2", 0),
+            ("http://a.com/cal/3/4", 1),
+            ("http://a.com/about", 2),
+            ("http://b.com/page", 0),
+        ],
+        "url string, depth long",
+    )
+    ranks = spark.createDataFrame(
+        [("a.com", 0.5), ("b.com", 0.25)], "host string, rank double"
+    )
+    traps = url_trap_templates(frontier.select("url"), trap_threshold=2)
+    out = {(r["url"]): r for r in frontier_priorities(
+        frontier, host_ranks=ranks, trap_templates=traps
+    ).collect()}
+    # /cal/N/N appears twice -> trap at threshold 2 -> priority -1
+    assert out["http://a.com/cal/1/2"]["is_trap"] and out["http://a.com/cal/1/2"]["priority"] == -1
+    assert out["http://a.com/cal/3/4"]["priority"] == -1
+    # rank 0.5 -> 500000, depth 2 -> div 3
+    assert not out["http://a.com/about"]["is_trap"]
+    assert out["http://a.com/about"]["priority"] == 500000 // 3
+    assert out["http://b.com/page"]["priority"] == 250000
+
+    # missing signals degrade gracefully
+    bare = {r["url"]: r for r in frontier_priorities(frontier).collect()}
+    assert all(r["priority"] == 0 and not r["is_trap"] for r in bare.values())
