@@ -1910,6 +1910,42 @@ def q_cdx_revisit_stats(spark, sf):
     return revisit_stats(_cdx_capture_fixture(spark, sf)).orderBy("surt")
 
 
+def q_cdx_retention(spark, sf):
+    """Temporal capture retention (sources/cdx.py::retention_sample):
+    keep the 2 newest captures per SURT plus the newest per calendar
+    month. 10 capture rounds spaced 20 days span ~7 months, so both
+    policies genuinely bind; CDX timestamps sort lexicographically so
+    the oracle replays the same string windows."""
+    from walker_spark.sources.cdx import cdx_records, retention_sample
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    caps = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("round"),
+    ).select(
+        F.concat(
+            F.lit("http://"),
+            F.col("source"),
+            F.lit(".example.com/d/"),
+            did.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1700000000).cast("long")
+            + F.col("round") * 1728000
+            + did % 7200
+        ).alias("warc_ts"),
+        F.col("text"),
+    )
+    return (
+        retention_sample(cdx_records(caps), keep_last=2, monthly=True)
+        .select("surt", "ts", "url", "keep", "reason")
+        .orderBy("surt", "ts")
+    )
+
+
 def q_link_anchor_rollup(spark, sf):
     """Anchor-text aggregation per target page (operators/graph.py::
     anchor_text_rollup) — inbound-link text as a target-page signal,
@@ -2329,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "cdx_revisits": q_cdx_revisits,
         "cdx_revisit_stats": q_cdx_revisit_stats,
+        "cdx_retention": q_cdx_retention,
         "recrawl_schedule": q_recrawl_schedule,
         "corpus_curate": q_corpus_curate,
         "text_vocab_encode": q_text_vocab_encode,
@@ -4107,6 +4144,33 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(sum(length), 1) * 10000 + 0.5) / 10000
                      AS saved_frac
             FROM w GROUP BY surt ORDER BY surt
+        """,
+        # cdx_retention: same clean-URL SURT; both retention windows
+        # replayed (ts DESC, url ASC), month bucket = substr(ts,1,6).
+        "cdx_retention": r"""
+            WITH caps AS (
+              SELECT 'com,example,' || source || ')/d/' || doc_id AS surt,
+                     strftime(to_timestamp(1700000000 + r.round * 1728000
+                                           + doc_id % 7200),
+                              '%Y%m%d%H%M%S') AS ts,
+                     'http://' || source || '.example.com/d/' || doc_id
+                       AS url
+              FROM documents, (SELECT unnest(range(1, 11)) AS round) r
+            ), w AS (
+              SELECT *,
+                     row_number() OVER
+                       (PARTITION BY surt ORDER BY ts DESC, url) AS rn,
+                     row_number() OVER
+                       (PARTITION BY surt, substr(ts, 1, 6)
+                        ORDER BY ts DESC, url) AS mrn
+              FROM caps
+            )
+            SELECT surt, ts, url,
+                   (rn <= 2 OR mrn = 1) AS keep,
+                   CASE WHEN rn <= 2 THEN 'recent'
+                        WHEN mrn = 1 THEN 'monthly'
+                        ELSE 'expired' END AS reason
+            FROM w ORDER BY surt, ts
         """,
         # link_anchor_rollup: edge set + anchors + top-3 cut all
         # re-derived relationally (same dd/edges CTEs as pagerank's

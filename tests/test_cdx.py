@@ -85,3 +85,33 @@ def test_revisit_records_semantics(spark):
     assert p["saved_frac"] == 0.4762
     q = st["com,ex)/q"]
     assert q["n_revisits"] == 0 and q["saved_frac"] == 0.0
+
+
+def test_retention_sample(spark):
+    from walker_spark.sources.cdx import retention_sample
+
+    caps = spark.createDataFrame(
+        [
+            # one URL, two months, 3 captures in the newer month
+            ("k)/a", "20240305000000", "u"),
+            ("k)/a", "20240310000000", "u"),
+            ("k)/a", "20240320000000", "u"),
+            ("k)/a", "20240201000000", "u"),
+            ("k)/a", "20240215000000", "u"),
+        ],
+        "surt string, ts string, url string",
+    )
+    out = {r["ts"]: r for r in retention_sample(caps, keep_last=2).collect()}
+    assert out["20240320000000"]["reason"] == "recent"
+    assert out["20240310000000"]["reason"] == "recent"
+    # newest of March already kept as recent; Feb newest kept monthly
+    assert out["20240215000000"]["reason"] == "monthly"
+    assert out["20240201000000"]["reason"] == "expired"
+    assert out["20240305000000"]["reason"] == "expired"
+    assert sum(1 for r in out.values() if r["keep"]) == 3
+
+    # monthly=False: pure keep-last
+    pure = {r["ts"]: r["keep"] for r in retention_sample(caps, keep_last=1, monthly=False).collect()}
+    assert pure == {"20240320000000": True, "20240310000000": False,
+                    "20240305000000": False, "20240215000000": False,
+                    "20240201000000": False}

@@ -49,6 +49,7 @@ __all__ = [
     "read_cdx",
     "revisit_records",
     "revisit_stats",
+    "retention_sample",
 ]
 
 
@@ -296,4 +297,52 @@ def revisit_stats(
             )
             / 10000
         ).alias("saved_frac"),
+    )
+
+
+def retention_sample(
+    captures: DataFrame,
+    surt_col: str = "surt",
+    ts_col: str = "ts",
+    url_col: str = "url",
+    keep_last: int = 3,
+    monthly: bool = True,
+) -> DataFrame:
+    """Temporal capture retention — the archive-pruning policy shape
+    (keep the N most recent captures of every URL, plus one capture
+    per calendar month for history): adds ``keep`` and ``reason``
+    (``recent`` beats ``monthly`` beats ``expired``) to the index.
+
+    CDX timestamps sort lexicographically (yyyyMMddHHmmss — the
+    format's design point), so recency is a plain string window and
+    the month bucket is ``substr(ts, 1, 6)``. Both windows partition
+    by (a prefix of) the surt key: ONE hash exchange total, index-sized
+    rows. Ties on ts break by url — fully deterministic retention.
+    """
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    from pyspark.sql import Window
+
+    w_recent = Window.partitionBy(surt_col).orderBy(
+        F.desc(ts_col), F.asc(url_col)
+    )
+    w_month = Window.partitionBy(
+        surt_col, F.substring(F.col(ts_col), 1, 6)
+    ).orderBy(F.desc(ts_col), F.asc(url_col))
+    out = captures.withColumn(
+        "__rn", F.row_number().over(w_recent)
+    )
+    if monthly:
+        out = out.withColumn("__mrn", F.row_number().over(w_month))
+    else:
+        out = out.withColumn("__mrn", F.lit(None).cast("int"))
+    reason = (
+        F.when(F.col("__rn") <= keep_last, F.lit("recent"))
+        .when(F.col("__mrn") == 1, F.lit("monthly"))
+        .otherwise(F.lit("expired"))
+    )
+    return (
+        out.withColumn("reason", reason)
+        .withColumn("keep", F.col("reason") != "expired")
+        .drop("__rn", "__mrn")
     )
