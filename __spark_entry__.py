@@ -1473,6 +1473,31 @@ def q_frontier_traps(spark, sf):
     ).orderBy("host", "template")
 
 
+def q_text_line_filter(spark, sf):
+    """C4-style line-level cleaning (functions/text.py::
+    line_quality_filter): drop lines that are too short, lack terminal
+    punctuation, are ALL CAPS, or are bullets — first matching cause
+    attributes the drop. The fixture synthesizes a 6-line document
+    from text substrings (per-doc variation) with one line per rule
+    class plus two keepers; the oracle replays every rule in RE2."""
+    from walker_spark.functions.text import line_quality_filter
+
+    did = F.col("doc_id")
+    doc = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 30), F.lit(".")),
+        F.lit("ok"),
+        F.substring("text", 31, 25),
+        F.lit("NAVIGATION MENU BAR."),
+        F.lit("- bullet item here."),
+        F.when(did % 2 == 0, F.lit("extra valid sentence for parity.")).otherwise(
+            F.lit("")
+        ),
+    )
+    d = _t(spark, sf, "documents").withColumn("text", doc)
+    return line_quality_filter(d).orderBy("doc_id")
+
+
 def q_text_charlm(spark, sf):
     """Character-trigram LM quality scoring (functions/text.py::
     charlm_metrics, the CCNet perplexity-gate shape): Laplace-smoothed
@@ -2339,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_boilerplate": q_text_boilerplate,
         "text_charlm": q_text_charlm,
+        "text_line_filter": q_text_line_filter,
         "host_graph": q_host_graph,
         "host_pagerank": q_host_pagerank,
         "event_sessions": q_event_sessions,
@@ -3626,6 +3652,67 @@ def oracle_sql() -> dict[str, str]:
                    count(*) >= 10 AS is_trap
             FROM t GROUP BY host, template
             ORDER BY host, template
+        """,
+        # text_line_filter: same synthesized 6-line doc; every rule
+        # (word count, terminal punct, all-caps, bullet) replayed in
+        # RE2; first-match cause attribution via the same CASE order.
+        "text_line_filter": """
+            WITH d AS (
+              SELECT doc_id,
+                     substr(text, 1, 30) || '.' || chr(10)
+                     || 'ok' || chr(10)
+                     || substr(text, 31, 25) || chr(10)
+                     || 'NAVIGATION MENU BAR.' || chr(10)
+                     || '- bullet item here.' || chr(10)
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN 'extra valid sentence for parity.'
+                             ELSE '' END AS t
+              FROM documents
+            ), ln0 AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS raw,
+                     generate_subscripts(string_split(t, chr(10)), 1) AS pos
+              FROM d
+            ), ln AS (
+              SELECT doc_id, pos, raw, trim(raw) AS l
+              FROM ln0 WHERE trim(raw) <> ''
+            ), c AS (
+              SELECT doc_id, pos, raw,
+                     CASE
+                       WHEN len(list_filter(string_split_regex(l, '\\s+'),
+                                            x -> x <> '')) < 3 THEN 'short'
+                       WHEN NOT regexp_matches(l, '[.!?"'']$') THEN 'punct'
+                       WHEN regexp_matches(l, '^[^a-z]*$')
+                            AND length(regexp_replace(l, '[^A-Z]', '', 'g'))
+                                >= 4 THEN 'caps'
+                       WHEN regexp_matches(l, '^[-*•]\\s') THEN 'bullet'
+                     END AS cause
+              FROM ln
+            ), agg AS (
+              SELECT doc_id,
+                     count(*) AS n_lines,
+                     sum(CASE WHEN cause = 'short' THEN 1 ELSE 0 END)
+                       AS n_short,
+                     sum(CASE WHEN cause = 'punct' THEN 1 ELSE 0 END)
+                       AS n_punct,
+                     sum(CASE WHEN cause = 'caps' THEN 1 ELSE 0 END)
+                       AS n_caps,
+                     sum(CASE WHEN cause = 'bullet' THEN 1 ELSE 0 END)
+                       AS n_bullet,
+                     coalesce(string_agg(CASE WHEN cause IS NULL THEN raw END,
+                                         chr(10) ORDER BY pos), '')
+                       AS clean_text
+              FROM c GROUP BY doc_id
+            )
+            SELECT dd.doc_id,
+                   CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(a.n_short, 0) AS BIGINT) AS n_short,
+                   CAST(coalesce(a.n_punct, 0) AS BIGINT) AS n_punct,
+                   CAST(coalesce(a.n_caps, 0) AS BIGINT) AS n_caps,
+                   CAST(coalesce(a.n_bullet, 0) AS BIGINT) AS n_bullet,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM documents dd LEFT JOIN agg a ON a.doc_id = dd.doc_id
+            ORDER BY dd.doc_id
         """,
         # text_charlm: the trigram model retrained in SQL (MATERIALIZED
         # CTEs — DuckDB re-inlines references otherwise); correlated

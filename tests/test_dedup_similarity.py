@@ -1061,3 +1061,29 @@ def test_percentile_cut(spark):
     ties = spark.createDataFrame([(i, 5.0) for i in range(10)], "doc_id long, score double")
     t_out = percentile_cut(ties, "score", q=0.25).collect()
     assert all(not r["keep"] for r in t_out) and t_out[0]["threshold"] == 5.0
+
+
+def test_line_quality_filter(spark):
+    from walker_spark.functions.text import line_quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "A good sentence stays here.\nok\nNo terminal punct line\n"
+                "SHOUTING HEADER LINE.\n- bullet point here.\n\n"
+                'Quoted line stays."'),
+            (1, "x\ny\nz"),  # everything short
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_quality_filter(docs).collect()}
+    r0 = out[0]
+    assert r0["n_lines"] == 6  # empty line not counted
+    assert (r0["n_short"], r0["n_punct"], r0["n_caps"], r0["n_bullet"]) == (1, 1, 1, 1)
+    assert r0["clean_text"] == 'A good sentence stays here.\nQuoted line stays."'
+    r1 = out[1]
+    assert r1["n_short"] == 3 and r1["clean_text"] == ""
+
+    # rule toggles: punctuation requirement off
+    lax = {r["doc_id"]: r for r in line_quality_filter(docs, require_terminal_punct=False).collect()}
+    assert lax[0]["n_punct"] == 0
+    assert "No terminal punct line" in lax[0]["clean_text"]

@@ -27,6 +27,7 @@ __all__ = [
     "decontaminate",
     "pii_scrub",
     "remove_boilerplate",
+    "line_quality_filter",
     "charlm_metrics",
     "script_metrics",
     "percentile_cut",
@@ -668,6 +669,100 @@ def script_metrics(
         "dominant_frac",
         F.when(total > 0, F.floor(best / total * 10000 + F.lit(0.5)) / 10000)
         .otherwise(F.lit(0.0)),
+    )
+
+
+def line_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """Rule-based line-level cleaning — the C4 line filters (Raffel et
+    al. 2020 §2.2: drop lines that don't end in terminal punctuation
+    or have fewer than 3 words; also the standard ALL-CAPS and
+    bullet/navigation heuristics). The per-GROUP frequency pass is
+    :func:`remove_boilerplate`; this is its LOCAL-rule sibling — zero
+    corpus statistics, so the only exchange is the per-doc reassembly.
+
+    A line drops when any of: fewer than ``min_words`` whitespace
+    words; no terminal punctuation (``.!?"'``, when required); ALL
+    CAPS (≥4 letters, none lowercase); starts with a bullet glyph
+    (-, *, •) or is a bare navigation token. Per doc: ``n_lines``,
+    per-cause drop counts (first matching cause attributes the drop,
+    in the order short > punct > caps > bullet), and ``clean_text``
+    (survivors re-joined in order via the array_sort-of-structs
+    pattern). Empty lines are dropped from counting and output.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "__pos", "__line"
+            ),
+        )
+        .filter(F.trim(F.col("__line")) != "")
+    )
+    ln = F.trim(F.col("__line"))
+    n_words = F.size(F.filter(F.split(ln, r"\s+"), lambda w: w != F.lit("")))
+    short = n_words < min_words
+    punct = (
+        ~ln.rlike(r"[.!?\"']$")
+        if require_terminal_punct
+        else F.lit(False)
+    )
+    caps = ln.rlike(r"^[^a-z]*$") & (
+        F.length(F.regexp_replace(ln, r"[^A-Z]", "")) >= 4
+    )
+    bullet = ln.rlike(r"^[-*•]\s")
+    cause = (
+        F.when(short, F.lit("short"))
+        .when(punct, F.lit("punct"))
+        .when(caps, F.lit("caps"))
+        .when(bullet, F.lit("bullet"))
+    )
+    tagged = lines.withColumn("__cause", cause)
+    per_doc = tagged.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum((F.col("__cause") == "short").cast("int")).cast("long").alias(
+            "n_short"
+        ),
+        F.sum((F.col("__cause") == "punct").cast("int")).cast("long").alias(
+            "n_punct"
+        ),
+        F.sum((F.col("__cause") == "caps").cast("int")).cast("long").alias(
+            "n_caps"
+        ),
+        F.sum((F.col("__cause") == "bullet").cast("int")).cast("long").alias(
+            "n_bullet"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__cause").isNull(),
+                            F.struct(F.col("__pos"), F.col("__line")),
+                        )
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            *[
+                F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                for c in ["n_lines", "n_short", "n_punct", "n_caps", "n_bullet"]
+            ],
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )
 
 
