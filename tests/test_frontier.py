@@ -109,3 +109,59 @@ def test_frontier_priorities(spark):
     # missing signals degrade gracefully
     bare = {r["url"]: r for r in frontier_priorities(frontier).collect()}
     assert all(r["priority"] == 0 and not r["is_trap"] for r in bare.values())
+
+
+def test_streaming_traps_match_batch(spark, tmp_path):
+    """Replay a URL stream in two waves through a query restart; the
+    final flagged (host, template) set and saturating counts must
+    match the batch trap detector on the same URLs."""
+    from walker_spark.operators.frontier import url_trap_templates
+    from walker_spark.streaming.frontier import streaming_trap_templates
+
+    urls = (
+        [(f"http://ex.com/cal/{i}/{i % 12}",) for i in range(40)]
+        + [("http://ex.com/about",)] * 3          # dup URL: distinct=1
+        + [(f"http://ex.com/p?id={i}",) for i in range(8)]
+    )
+    df = spark.createDataFrame(urls, "url string")
+    batch = {
+        (r["host"], r["template"]): (r["n_urls"], r["is_trap"])
+        for r in url_trap_templates(df, trap_threshold=10).collect()
+    }
+    assert batch[("ex.com", "/cal/N/N")][1] is True
+
+    src, ck, sink = (str(tmp_path / d) for d in ("src", "ck", "sink"))
+    w1 = df.limit(20)
+    w2 = df.subtract(w1).union(w1.limit(5))  # overlap re-sends dups
+
+    def run_once():
+        stream = spark.readStream.schema("url string").parquet(src)
+
+        def emit(b, _e):
+            b.write.mode("append").parquet(sink)
+
+        q = (
+            streaming_trap_templates(stream, trap_threshold=10)
+            .writeStream.foreachBatch(emit)
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    w1.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    w2.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # distinct-set state rides the checkpoint
+
+    got_rows = spark.read.parquet(sink).groupBy("host", "template").agg(
+        F.max("n_urls").alias("n"), F.max("is_trap").alias("t")
+    ).collect()
+    got = {(r["host"], r["template"]): (r["n"], r["t"]) for r in got_rows}
+    assert set(got) == set(batch)
+    for k, (bn, bt) in batch.items():
+        gn, gt = got[k]
+        assert gt == bt, k
+        # counts saturate at the threshold once flagged
+        assert gn == (min(bn, 10) if bt else bn), k
