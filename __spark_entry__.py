@@ -1321,6 +1321,22 @@ def q_host_registered_domains(spark, sf):
     )
 
 
+def q_corpus_split(spark, sf):
+    """Deterministic hash-bucket train/val/test split (pipeline.py::
+    split_corpus): bucket = int(md5('split-v1:'||id)[:8]) mod 100,
+    ranges in sorted-name order (test [0,1), train [1,99),
+    val [99,100)). A pure projection — stable under repartitioning
+    and across engines; the oracle replays the same md5 arithmetic
+    via DuckDB's 0x-hex cast."""
+    from walker_spark.pipeline import split_corpus
+
+    return (
+        split_corpus(_t(spark, sf, "documents"))
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    )
+
+
 def q_frontier_priorities(spark, sf):
     """The composed scheduler key (operators/frontier.py::
     frontier_priorities): host-prior × harmonic depth decay, trap
@@ -2374,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_registered_domains": q_host_registered_domains,
         "quality_percentile_cut": q_quality_percentile_cut,
         "frontier_priorities": q_frontier_priorities,
+        "corpus_split": q_corpus_split,
         "search_postings": q_search_postings,
         "search_bm25": q_search_bm25,
         "text_span_dedup": q_text_span_dedup,
@@ -3438,6 +3455,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
             FROM s GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        # corpus_split: same md5-prefix arithmetic; sorted-name ranges
+        # test [0,1), train [1,99), val [99,100).
+        "corpus_split": """
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5('split-v1:' || doc_id), 1, 8)
+                             AS UBIGINT) % 100 AS BIGINT) AS bucket,
+                   CASE
+                     WHEN CAST('0x' || substr(md5('split-v1:' || doc_id), 1, 8)
+                          AS UBIGINT) % 100 < 1 THEN 'test'
+                     WHEN CAST('0x' || substr(md5('split-v1:' || doc_id), 1, 8)
+                          AS UBIGINT) % 100 < 99 THEN 'train'
+                     ELSE 'val'
+                   END AS split
+            FROM documents ORDER BY doc_id
         """,
         # frontier_priorities: template/host/trap relations recomposed
         # (same CTE shapes as frontier_traps), rank from host length,

@@ -108,3 +108,36 @@ def test_recrawl_schedule_from_corpus_diff(spark):
     out = {r["doc_id"]: r for r in recrawl_schedule(hist).collect()}
     assert out[2]["n_changes"] == 1 and out[1]["n_changes"] == 0
     assert out[1]["revisit_interval"] > out[2]["revisit_interval"]
+
+
+def test_split_corpus(spark):
+    from walker_spark.pipeline import split_corpus
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = split_corpus(docs, weights={"train": 8, "val": 1, "test": 1}).collect()
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+        assert 0 <= r["bucket"] < 10
+    # hash buckets track the 8/1/1 parts
+    assert 1400 < counts["train"] < 1800
+    assert 100 < counts["val"] < 320 and 100 < counts["test"] < 320
+
+    # pure projection: identical under repartitioning, stable per id
+    again = {r["doc_id"]: r["split"] for r in split_corpus(
+        docs.repartition(7), weights={"train": 8, "val": 1, "test": 1}
+    ).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in out)
+
+    # a different seed reshuffles assignments
+    other = {r["doc_id"]: r["split"] for r in split_corpus(
+        docs, weights={"train": 8, "val": 1, "test": 1}, seed="v2"
+    ).collect()}
+    assert any(other[r["doc_id"]] != r["split"] for r in out)
+
+    # growing the corpus never moves existing docs between splits
+    grown = {r["doc_id"]: r["split"] for r in split_corpus(
+        spark.range(0, 3000).withColumnRenamed("id", "doc_id"),
+        weights={"train": 8, "val": 1, "test": 1},
+    ).collect()}
+    assert all(grown[r["doc_id"]] == r["split"] for r in out)

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["curate_corpus", "corpus_diff", "recrawl_schedule"]
+__all__ = ["curate_corpus", "corpus_diff", "recrawl_schedule", "split_corpus"]
 
 
 def curate_corpus(
@@ -207,4 +207,52 @@ def recrawl_schedule(
         ).alias("change_rate"),
         expr.cast("long").alias("revisit_interval"),
         (F.col("last_round") + expr).cast("long").alias("due_round"),
+    )
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the standard
+    hash-bucket split (every engine and every rerun must agree on
+    which documents are held out, or decontamination breaks): bucket
+    = first 8 md5 hex digits of ``seed:id`` as an integer mod the
+    weight total, mapped to splits by cumulative ranges.
+
+    ``weights`` are INTEGER parts (default ``{"train": 98, "val": 1,
+    "test": 1}``); expected split sizes follow the parts exactly in
+    distribution, and the assignment is a pure projection — no
+    shuffle, no sampling state, stable under any partitioning, and
+    reproducible from the id alone (new documents join their split
+    without touching old ones — the property random splits lack).
+    """
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    total = sum(weights.values())
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % total
+    )
+    names = sorted(weights)  # deterministic range order
+    expr = None
+    lo = 0
+    for name in names:
+        hi = lo + weights[name]
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    return df.withColumn("bucket", bucket.cast("long")).withColumn(
+        "split", expr
     )
