@@ -1321,6 +1321,18 @@ def q_host_registered_domains(spark, sf):
     )
 
 
+def q_embedding_quantize(spark, sf):
+    """Symmetric int8 embedding quantization (operators/similarity.py::
+    quantize_embeddings): per-vector scale, half-away int8 codes, and
+    an order-free max reconstruction error — no float sums anywhere,
+    so the only cross-engine discipline needed is the float32→double
+    cast before arithmetic. The oracle replays the element math with
+    DuckDB list lambdas."""
+    from walker_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf, "embeddings")).orderBy("vec_id")
+
+
 def q_corpus_split(spark, sf):
     """Deterministic hash-bucket train/val/test split (pipeline.py::
     split_corpus): bucket = int(md5('split-v1:'||id)[:8]) mod 100,
@@ -2391,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile_cut": q_quality_percentile_cut,
         "frontier_priorities": q_frontier_priorities,
         "corpus_split": q_corpus_split,
+        "embedding_quantize": q_embedding_quantize,
         "search_postings": q_search_postings,
         "search_bm25": q_search_bm25,
         "text_span_dedup": q_text_span_dedup,
@@ -3455,6 +3468,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
             FROM s GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        # embedding_quantize: same per-element IEEE trajectory (cast
+        # to DOUBLE first); max is order-free; sign*floor(+0.5) is the
+        # shared half-away quantizer.
+        "embedding_quantize": """
+            WITH x AS (
+              SELECT vec_id,
+                     list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+              FROM embeddings
+            ), s AS (
+              SELECT vec_id, xd,
+                     list_max(list_transform(xd, v -> abs(v))) AS scale
+              FROM x
+            ), c AS (
+              SELECT vec_id, xd, scale,
+                     CASE WHEN scale > 0 THEN
+                       list_transform(xd, v -> CAST(sign(v)
+                         * floor(abs(v) / scale * 127 + 0.5) AS BIGINT))
+                     ELSE list_transform(xd, v -> CAST(0 AS BIGINT))
+                     END AS codes
+              FROM s
+            )
+            SELECT vec_id,
+                   round(scale, 9) AS scale,
+                   codes,
+                   CASE WHEN scale > 0 THEN
+                     floor(list_max(list_transform(
+                       list_zip(xd, codes),
+                       p -> abs(p[1] - p[2] * scale / 127))) * 1e9 + 0.5)
+                     / 1e9
+                   ELSE 0e0 END AS max_abs_err
+            FROM c ORDER BY vec_id
         """,
         # corpus_split: same md5-prefix arithmetic; sorted-name ranges
         # test [0,1), train [1,99), val [99,100).

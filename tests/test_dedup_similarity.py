@@ -1087,3 +1087,31 @@ def test_line_quality_filter(spark):
     lax = {r["doc_id"]: r for r in line_quality_filter(docs, require_terminal_punct=False).collect()}
     assert lax[0]["n_punct"] == 0
     assert "No terminal punct line" in lax[0]["clean_text"]
+
+
+def test_quantize_embeddings(spark):
+    import math
+
+    from walker_spark.operators.similarity import quantize_embeddings
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, -0.5, 0.25, 0.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),       # zero vector
+            (2, [-2.0, 2.0, 1.0, -1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(vecs).collect()}
+    r0 = out[0]
+    assert r0["scale"] == 1.0
+    # half-away: -0.5*127 = -63.5 -> -64
+    assert r0["codes"] == [127, -64, 32, 0]
+    assert r0["max_abs_err"] <= 0.5 / 127 + 1e-9
+    assert out[1]["codes"] == [0, 0, 0, 0] and out[1]["scale"] == 0.0
+    assert out[1]["max_abs_err"] == 0.0
+    assert out[2]["codes"] == [-127, 127, 64, -64]
+    # reconstruction bound: |err| <= scale/254 + quantize jitter
+    for r in out.values():
+        if r["scale"] > 0:
+            assert r["max_abs_err"] <= r["scale"] / 254 + 1e-9

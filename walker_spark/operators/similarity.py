@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 __all__ = [
+    "quantize_embeddings",
     "dot_expr",
     "norm_expr",
     "cosine_expr",
@@ -619,4 +620,51 @@ def pq_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_score", "rank")
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard vector-DB
+    compression (4× over float32; scalar quantization as shipped by
+    FAISS/every ANN store): ``scale = max|x|``, ``code_i =
+    sign(x_i) * floor(|x_i|/scale * 127 + 0.5)`` (half-away-from-zero,
+    codes in [-127, 127]), dequantize as ``code * scale / 127``.
+
+    Output per vector: ``scale`` (9-dec display copy), ``codes``
+    (array<long> — the int8 payload), and ``max_abs_err`` (9-dec
+    quantized worst-element reconstruction error — an order-FREE
+    max, so the metric is engine-exact; no float sums anywhere).
+    All-zero vectors quantize to zero codes with scale 0.
+
+    A pure projection (array lambdas inside whole-stage codegen) —
+    zero shuffle; floats are cast float32→double BEFORE arithmetic so
+    the per-element IEEE trajectory matches any double engine.
+    """
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xd, F.abs))
+    code = lambda x: (  # noqa: E731
+        F.signum(x) * F.floor(F.abs(x) / scale * 127 + F.lit(0.5))
+    ).cast("long")
+    codes = F.when(scale > 0, F.transform(xd, code)).otherwise(
+        F.transform(xd, lambda x: F.lit(0).cast("long"))
+    )
+    recon_err = F.when(
+        scale > 0,
+        F.array_max(
+            F.zip_with(
+                xd,
+                codes,
+                lambda x, c: F.abs(x - c * scale / 127),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        codes.alias("codes"),
+        (F.floor(recon_err * 1e9 + F.lit(0.5)) / 1e9).alias("max_abs_err"),
     )
