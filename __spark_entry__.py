@@ -1321,6 +1321,21 @@ def q_host_registered_domains(spark, sf):
     )
 
 
+def q_embedding_pca(spark, sf):
+    """Top principal component by distributed power iteration
+    (operators/decomp.py::power_iteration_pc1, 3 rounds): every
+    cross-row/cross-dim sum is integer on a scaled grid, sqrt is the
+    only transcendental (correctly rounded ⇒ bit-identical), so the
+    oracle replays the ENTIRE iterative trajectory relationally —
+    per-vector projections and the eigenvalue estimate must match to
+    the last bit."""
+    from walker_spark.operators.decomp import power_iteration_pc1
+
+    return power_iteration_pc1(
+        _t(spark, sf, "embeddings"), iterations=3
+    ).orderBy("vec_id")
+
+
 def q_embedding_quantize(spark, sf):
     """Symmetric int8 embedding quantization (operators/similarity.py::
     quantize_embeddings): per-vector scale, half-away int8 codes, and
@@ -2178,6 +2193,61 @@ def _psl_oracle_sql() -> str:
     """.replace("__VALS__", ", ".join(vals))
 
 
+def _pca_sql(iters: int = 3, d: int = 64) -> str:
+    """Unrolled power iteration (operators/decomp.py grid discipline):
+    element products sign-floor-quantized to 1e-9 then INTEGER-summed
+    (order-free), cross-row contributions on the 1e-6 grid, norms from
+    gridded squares through one correctly-rounded sqrt — the exact
+    arithmetic the distributed loop does, per iteration, in SQL."""
+    cte = [
+        "dims AS MATERIALIZED (SELECT unnest(range(0, %d)) AS j)" % d,
+        "xe AS MATERIALIZED (SELECT vec_id, j, "
+        "CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) AS x "
+        "FROM embeddings, dims)",
+        "v0 AS MATERIALIZED (SELECT j, "
+        "floor(1e0/%d * 1e9 + 5e-1)/1e9 AS v FROM dims)" % d,
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        cte.append(
+            f"sc{k} AS MATERIALIZED (SELECT e.vec_id, "
+            f"SUM(CAST(sign(e.x * v.v) * floor(abs(e.x * v.v) * 1e9 + 5e-1) "
+            f"AS BIGINT)) AS sq "
+            f"FROM xe e JOIN v{p} v USING (j) GROUP BY e.vec_id)"
+        )
+        cte.append(
+            f"cs{k} AS MATERIALIZED (SELECT e.j, "
+            f"SUM(CAST(sign(e.x * (s.sq / 1e9)) "
+            f"* floor(abs(e.x * (s.sq / 1e9)) * 1e6 + 5e-1) AS BIGINT)) AS c "
+            f"FROM xe e JOIN sc{k} s USING (vec_id) GROUP BY e.j)"
+        )
+        cte.append(
+            f"w{k} AS MATERIALIZED (SELECT j, c / 1e6 AS w FROM cs{k})"
+        )
+        cte.append(
+            f"n{k} AS MATERIALIZED (SELECT "
+            f"sqrt(SUM(CAST(floor(w * w * 1e6 + 5e-1) AS BIGINT)) / 1e6) "
+            f"AS nrm FROM w{k})"
+        )
+        cte.append(
+            f"v{k} AS MATERIALIZED (SELECT j, "
+            f"sign(w) * floor(abs(w / (SELECT nrm FROM n{k})) * 1e9 + 5e-1) "
+            f"/ 1e9 AS v FROM w{k})"
+        )
+    return (
+        "WITH "
+        + ",\n ".join(cte)
+        + f"""
+        SELECT e.vec_id,
+               SUM(CAST(sign(e.x * v.v) * floor(abs(e.x * v.v) * 1e9 + 5e-1)
+                   AS BIGINT)) / 1e9 AS pc1,
+               floor((SELECT nrm FROM n{iters}) * 1e6 + 5e-1) / 1e6
+                 AS eigenvalue
+        FROM xe e JOIN v{iters} v USING (j)
+        GROUP BY e.vec_id ORDER BY e.vec_id"""
+    )
+
+
 def _hits_sql(iters: int = 5) -> str:
     """Unrolled HITS oracle on the shared documents edge set: scores
     live on a 1e-12 grid carried as scaled BIGINTs, so every sum is
@@ -2404,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_priorities": q_frontier_priorities,
         "corpus_split": q_corpus_split,
         "embedding_quantize": q_embedding_quantize,
+        "embedding_pca": q_embedding_pca,
         "search_postings": q_search_postings,
         "search_bm25": q_search_bm25,
         "text_span_dedup": q_text_span_dedup,
@@ -3469,6 +3540,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
         """,
+        "embedding_pca": _pca_sql(iters=3, d=64),
         # embedding_quantize: same per-element IEEE trajectory (cast
         # to DOUBLE first); max is order-free; sign*floor(+0.5) is the
         # shared half-away quantizer.

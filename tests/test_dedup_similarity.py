@@ -1115,3 +1115,35 @@ def test_quantize_embeddings(spark):
     for r in out.values():
         if r["scale"] > 0:
             assert r["max_abs_err"] <= r["scale"] / 254 + 1e-9
+
+
+def test_power_iteration_pc1(spark):
+    import numpy as np
+
+    from walker_spark.operators.decomp import power_iteration_pc1
+
+    rng = np.random.default_rng(3)
+    # strong planted direction + noise
+    u = rng.standard_normal(32)
+    u /= np.linalg.norm(u)
+    X = np.outer(rng.standard_normal(200) * 5.0, u) + 0.1 * rng.standard_normal((200, 32))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    out = power_iteration_pc1(df, iterations=6).orderBy("vec_id").collect()
+    got = np.array([r["pc1"] for r in out])
+
+    Xd = np.array([[np.float32(x) for x in X[i]] for i in range(200)], dtype=np.float64)
+    _, s, vt = np.linalg.svd(Xd, full_matrices=False)
+    ref = Xd @ vt[0]
+    corr = abs(np.corrcoef(got, ref)[0, 1])
+    assert corr > 0.999, corr
+    # dominant eigenvalue of X^T X ~ s[0]^2 under the iteration scaling
+    assert out[0]["eigenvalue"] > 0
+
+    # bit-exact under repartitioning (integer-grid trajectory)
+    again = power_iteration_pc1(df.repartition(9), iterations=6).orderBy("vec_id").collect()
+    assert [(r["vec_id"], r["pc1"], r["eigenvalue"]) for r in again] == [
+        (r["vec_id"], r["pc1"], r["eigenvalue"]) for r in out
+    ]
