@@ -1516,6 +1516,30 @@ def q_frontier_traps(spark, sf):
     ).orderBy("host", "template")
 
 
+def q_text_bigram_lm(spark, sf):
+    """Stupid-Backoff word-bigram LM (functions/text.py::
+    bigram_lm_metrics, Brants 2007): trained on docs with
+    doc_id%3 != 0; every doc scored. Docs with doc_id%5 == 0 get an
+    OOV token appended on BOTH sides so the unigram-backoff AND
+    OOV-floor paths genuinely fire. Same 1e-6 BIGINT grid as the char
+    LM — integer doc totals, one ln per distinct score path."""
+    from walker_spark.functions.text import bigram_lm_metrics
+
+    did = F.col("doc_id")
+    d = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" zzqx"), (did % 3).cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    train = d.filter(did % 3 != 0)
+    return bigram_lm_metrics(d, train=train, alpha=0.4).orderBy("doc_id")
+
+
 def q_text_line_filter(spark, sf):
     """C4-style line-level cleaning (functions/text.py::
     line_quality_filter): drop lines that are too short, lack terminal
@@ -2463,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "text_charlm": q_text_charlm,
         "text_line_filter": q_text_line_filter,
+        "text_bigram_lm": q_text_bigram_lm,
         "host_graph": q_host_graph,
         "host_pagerank": q_host_pagerank,
         "event_sessions": q_event_sessions,
@@ -3801,6 +3826,86 @@ def oracle_sql() -> dict[str, str]:
                    count(*) >= 10 AS is_trap
             FROM t GROUP BY host, template
             ORDER BY host, template
+        """,
+        # text_bigram_lm: model retrained in SQL (bigram/context/
+        # unigram counts over the train split); score CASE ordered
+        # exactly like the Spark when-chain; 4e-1 keeps alpha DOUBLE.
+        "text_bigram_lm": r"""
+            WITH d AS MATERIALIZED (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 5 = 0
+                                  THEN ' zzqx' || (doc_id % 3)
+                                  ELSE '' END AS t
+              FROM documents
+            ), tr AS MATERIALIZED (
+              SELECT * FROM d WHERE doc_id % 3 <> 0
+            ), ttk AS MATERIALIZED (
+              SELECT doc_id, tok,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS p
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(t), '\W+')) AS tok,
+                       generate_subscripts(
+                         string_split_regex(lower(t), '\W+'), 1) AS pos
+                FROM tr
+              ) WHERE tok <> ''
+            ), trb AS MATERIALIZED (
+              SELECT a.doc_id, a.tok AS prev, b.tok AS w
+              FROM ttk a JOIN ttk b
+                ON b.doc_id = a.doc_id AND b.p = a.p + 1
+            ), bc AS MATERIALIZED (
+              SELECT prev, w, count(*) AS bc FROM trb GROUP BY prev, w
+            ), cc AS MATERIALIZED (
+              SELECT prev, count(*) AS cc FROM trb GROUP BY prev
+            ), uni AS MATERIALIZED (
+              SELECT tok AS w, count(*) AS uc FROM ttk GROUP BY tok
+            ), nt AS MATERIALIZED (
+              SELECT CAST(count(*) AS DOUBLE) AS n FROM ttk
+            ), dtk AS MATERIALIZED (
+              SELECT doc_id, tok,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS p
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(t), '\W+')) AS tok,
+                       generate_subscripts(
+                         string_split_regex(lower(t), '\W+'), 1) AS pos
+                FROM d
+              ) WHERE tok <> ''
+            ), dtf AS MATERIALIZED (
+              SELECT a.doc_id, a.tok AS prev, b.tok AS w, count(*) AS tf
+              FROM dtk a JOIN dtk b
+                ON b.doc_id = a.doc_id AND b.p = a.p + 1
+              GROUP BY a.doc_id, a.tok, b.tok
+            ), sc AS MATERIALIZED (
+              SELECT dtf.doc_id, dtf.tf,
+                     CAST(floor(-ln(
+                       CASE WHEN bc.bc IS NOT NULL
+                              THEN bc.bc / CAST(cc.cc AS DOUBLE)
+                            WHEN uni.uc IS NOT NULL
+                              THEN 4e-1 * uni.uc / (SELECT n FROM nt)
+                            ELSE 4e-1 / (SELECT n FROM nt) END)
+                       * 1000000 + 5e-1) AS BIGINT) AS nq,
+                     CASE WHEN bc.bc IS NULL THEN 1 ELSE 0 END AS bo
+              FROM dtf
+              LEFT JOIN bc USING (prev, w)
+              LEFT JOIN cc USING (prev)
+              LEFT JOIN uni USING (w)
+            ), pd AS MATERIALIZED (
+              SELECT doc_id,
+                     CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                     sum(tf * nq) AS tot,
+                     CAST(sum(tf * bo) AS BIGINT) AS n_backoff
+              FROM sc GROUP BY doc_id
+            )
+            SELECT dd.doc_id,
+                   coalesce(p.n_bigrams, 0) AS n_bigrams,
+                   round(coalesce(p.tot / (p.n_bigrams * 1000000e0), 0e0), 6)
+                     AS avg_nll,
+                   coalesce(p.n_backoff, 0) AS n_backoff
+            FROM documents dd LEFT JOIN pd p USING (doc_id)
+            ORDER BY dd.doc_id
         """,
         # text_line_filter: same synthesized 6-line doc; every rule
         # (word count, terminal punct, all-caps, bullet) replayed in

@@ -1147,3 +1147,31 @@ def test_power_iteration_pc1(spark):
     assert [(r["vec_id"], r["pc1"], r["eigenvalue"]) for r in again] == [
         (r["vec_id"], r["pc1"], r["eigenvalue"]) for r in out
     ]
+
+
+def test_bigram_lm_metrics(spark):
+    import math
+
+    from walker_spark.functions.text import bigram_lm_metrics
+
+    train = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b c a b")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b c"), (11, "c c"), (12, "a zz")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_metrics(score, train=train, alpha=0.4).collect()}
+    # train bigrams: a->b x4, b->a x1, b->c x2, c->a x1; ctx a=4,b=3,c=1
+    # unigrams: a=4, b=4, c=2; N=10
+    q = lambda s: math.floor(-math.log(s) * 1e6 + 0.5)
+
+    r10 = out[10]  # (a,b): 4/4 ; (b,c): 2/3
+    exp = round((q(4 / 4) + q(2 / 3)) / 2e6, 6)
+    assert r10["n_bigrams"] == 2 and r10["n_backoff"] == 0
+    assert r10["avg_nll"] == exp
+    r11 = out[11]  # (c,c): unseen bigram, c unigram seen -> 0.4*2/10
+    assert r11["n_backoff"] == 1
+    assert r11["avg_nll"] == round(q(0.4 * 2 / 10) / 1e6, 6)
+    r12 = out[12]  # (a,zz): zz OOV -> floor 0.4/10
+    assert r12["n_backoff"] == 1
+    assert r12["avg_nll"] == round(q(0.4 / 10) / 1e6, 6)

@@ -29,6 +29,7 @@ __all__ = [
     "remove_boilerplate",
     "line_quality_filter",
     "charlm_metrics",
+    "bigram_lm_metrics",
     "script_metrics",
     "percentile_cut",
     "SCRIPT_PATTERNS",
@@ -864,6 +865,117 @@ def charlm_metrics(
             F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
             F.round(F.coalesce(avg_nll, F.lit(0.0)), 6).alias("avg_nll"),
             F.round(F.exp(F.coalesce(avg_nll, F.lit(0.0))), 6).alias("ppl"),
+        )
+    )
+
+
+def bigram_lm_metrics(
+    df: DataFrame,
+    train: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Word-bigram LM scoring with Stupid Backoff (Brants et al. 2007
+    — the LM the original web-scale MT pipelines ran precisely because
+    it needs NO normalization pass, making it the cheapest distributed
+    LM): ``S(w|prev) = c(prev,w)/c(prev)`` when the bigram was seen,
+    else ``alpha * c(w)/N`` (unigram backoff), else ``alpha / N``
+    (OOV floor — a proper-LM epsilon stand-in keeping scores finite).
+
+    The word-level complement of :func:`charlm_metrics` (same grid
+    discipline: one ln per DISTINCT (bigram-or-backoff) score path,
+    quantized to a 1e-6 BIGINT, per-doc totals integer-summed). Per
+    doc: ``n_bigrams``, ``avg_nll`` (6-dec), ``n_backoff`` (positions
+    scored through the backoff path — the novelty signal).
+
+    Scale shape: model = two vocabulary-sized count tables, broadcast;
+    scoring joins move (id, gram-hash, tf) only; ``train`` defaults to
+    ``df``.
+    """
+    tr = train if train is not None else df
+
+    def toks(frame):
+        t = F.filter(
+            F.split(F.lower(F.col(text_col)), r"\W+"),
+            lambda s: s != F.lit(""),
+        )
+        return frame.select(F.col(id_col), t.alias("__toks"))
+
+    def bigrams(frame):
+        tk = toks(frame)
+        return tk.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size("__toks") >= 2,
+                    F.zip_with(
+                        F.slice(
+                            F.col("__toks"), 1, F.size("__toks") - 1
+                        ),
+                        F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("prev"), b.alias("w")
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+            ).alias("g"),
+        ).select(id_col, F.col("g.prev").alias("prev"), F.col("g.w").alias("w"))
+
+    tr_bi = bigrams(tr)
+    big_cnt = tr_bi.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("bc"))
+    ctx_cnt = tr_bi.groupBy("prev").agg(F.count(F.lit(1)).alias("cc"))
+    uni = (
+        toks(tr)
+        .select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    n_total = toks(tr).select(
+        F.sum(F.size("__toks")).cast("double").alias("__n")
+    )
+
+    doc_tf = bigrams(df).groupBy(id_col, "prev", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    score = (
+        F.when(
+            F.col("bc").isNotNull(), F.col("bc") / F.col("cc")
+        )
+        .when(
+            F.col("uc").isNotNull(),
+            F.lit(alpha) * F.col("uc") / F.col("__n"),
+        )
+        .otherwise(F.lit(alpha) / F.col("__n"))
+    )
+    nll_q = F.floor(-F.log(score) * 1000000 + F.lit(0.5)).cast("long")
+    backoff = F.col("bc").isNull()
+    scored = (
+        doc_tf.join(F.broadcast(big_cnt), ["prev", "w"], "left")
+        .join(F.broadcast(ctx_cnt), "prev", "left")
+        .join(F.broadcast(uni), "w", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            id_col,
+            "tf",
+            nll_q.alias("nq"),
+            backoff.cast("int").alias("bo"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("nq")).alias("__tot"),
+        F.sum(F.col("tf") * F.col("bo")).cast("long").alias("n_backoff"),
+    )
+    avg = F.col("__tot") / (F.col("n_bigrams") * 1000000)
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(F.coalesce(avg, F.lit(0.0)), 6).alias("avg_nll"),
+            F.coalesce("n_backoff", F.lit(0)).cast("long").alias("n_backoff"),
         )
     )
 
