@@ -1516,6 +1516,36 @@ def q_frontier_traps(spark, sf):
     ).orderBy("host", "template")
 
 
+def q_text_unicode_norm(spark, sf):
+    """Unicode hygiene (functions/text.py::normalize_unicode): NFC
+    composition + C0/DEL strip + horizontal-whitespace collapse. The
+    fixture plants a DECOMPOSED accent (e + U+0301), a BEL control
+    char, and a double space per doc_id arm; norm_hash = md5 of the
+    cleaned text proves byte-identical normalization against DuckDB's
+    nfc_normalize (same Unicode tables as Python's unicodedata)."""
+    from walker_spark.functions.text import normalize_unicode
+
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.lit(" cafe\u0301 ole\u0301")).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit(" bad\x07ctl")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("  double  spaced")).otherwise(F.lit("")),
+    )
+    d = _t(spark, sf, "documents").withColumn("text", injected)
+    return (
+        normalize_unicode(d)
+        .select(
+            "doc_id",
+            "n_ctrl",
+            "changed",
+            F.md5("text_norm").alias("norm_hash"),
+            F.length("text_norm").alias("norm_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_text_bigram_lm(spark, sf):
     """Stupid-Backoff word-bigram LM (functions/text.py::
     bigram_lm_metrics, Brants 2007): trained on docs with
@@ -2488,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_charlm": q_text_charlm,
         "text_line_filter": q_text_line_filter,
         "text_bigram_lm": q_text_bigram_lm,
+        "text_unicode_norm": q_text_unicode_norm,
         "host_graph": q_host_graph,
         "host_pagerank": q_host_pagerank,
         "event_sessions": q_event_sessions,
@@ -3827,6 +3858,40 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY host, template
             ORDER BY host, template
         """,
+        # text_unicode_norm: chr() builds the decomposed accent and BEL
+        # so the SQL literal carries the same code points; nfc_normalize
+        # + the same RE2 classes; length() counts code points on both
+        # engines.
+        "text_unicode_norm": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                          THEN ' cafe' || chr(769) || ' ole' || chr(769)
+                          ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0
+                          THEN ' bad' || chr(7) || 'ctl' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN '  double  spaced' ELSE '' END AS t
+              FROM inj_src
+            ), n AS (
+              SELECT doc_id, t, nfc_normalize(t) AS c FROM inj
+            ), cl AS (
+              SELECT doc_id, t,
+                     len(regexp_extract_all(c,
+                       '[\x00-\x08\x0b-\x1f\x7f]')) AS n_ctrl,
+                     trim(regexp_replace(regexp_replace(c,
+                       '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                       '[ \t]{2,}', ' ', 'g')) AS tn
+              FROM n
+            )
+            SELECT doc_id,
+                   CAST(n_ctrl AS BIGINT) AS n_ctrl,
+                   tn <> t AS changed,
+                   md5(tn) AS norm_hash,
+                   CAST(length(tn) AS INT) AS norm_len
+            FROM cl ORDER BY doc_id
+        """.replace("inj_src", "documents"),
         # text_bigram_lm: model retrained in SQL (bigram/context/
         # unigram counts over the train split); score CASE ordered
         # exactly like the Spark when-chain; 4e-1 keeps alpha DOUBLE.

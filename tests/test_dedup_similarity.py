@@ -1175,3 +1175,29 @@ def test_bigram_lm_metrics(spark):
     r12 = out[12]  # (a,zz): zz OOV -> floor 0.4/10
     assert r12["n_backoff"] == 1
     assert r12["avg_nll"] == round(q(0.4 / 10) / 1e6, 6)
+
+
+def test_normalize_unicode(spark):
+    import unicodedata
+
+    from walker_spark.functions.text import normalize_unicode
+
+    decomposed = "café"
+    docs = spark.createDataFrame(
+        [
+            (0, decomposed),                 # NFC composes to café
+            (1, "tab\tand\nnewline stay"),   # \t single, \n preserved
+            (2, "ctl\x07here\x00too"),
+            (3, "  lots   of   space  "),
+            (4, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_unicode(docs).collect()}
+    assert out[0]["text_norm"] == unicodedata.normalize("NFC", decomposed)
+    assert out[0]["text_norm"] != decomposed and out[0]["changed"]
+    assert out[1]["text_norm"] == "tab\tand\nnewline stay"
+    assert not out[1]["changed"] and out[1]["n_ctrl"] == 0
+    assert out[2]["text_norm"] == "ctlheretoo" and out[2]["n_ctrl"] == 2
+    assert out[3]["text_norm"] == "lots of space"
+    assert not out[4]["changed"]

@@ -30,6 +30,7 @@ __all__ = [
     "line_quality_filter",
     "charlm_metrics",
     "bigram_lm_metrics",
+    "normalize_unicode",
     "script_metrics",
     "percentile_cut",
     "SCRIPT_PATTERNS",
@@ -866,6 +867,44 @@ def charlm_metrics(
             F.round(F.coalesce(avg_nll, F.lit(0.0)), 6).alias("avg_nll"),
             F.round(F.exp(F.coalesce(avg_nll, F.lit(0.0))), 6).alias("ppl"),
         )
+    )
+
+
+def normalize_unicode(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode hygiene for scraped text — the mojibake/control-char
+    cleanup every web corpus runs before tokenization: NFC
+    normalization (composing decomposed accents so 'e'+U+0301 and 'é'
+    dedupe/tokenize identically), control-character stripping (C0
+    except tab/newline, plus DEL), and horizontal-whitespace collapse.
+
+    Adds ``<text_col>_norm``, ``n_ctrl`` (control chars removed) and
+    ``changed``. NFC itself is the ONE justified Python step (Spark
+    has no native normalizer; Arrow-batched pandas UDF over
+    ``unicodedata`` — the same Unicode tables DuckDB's nfc_normalize
+    uses, which is what makes the oracle possible); everything after
+    is native regex in whole-stage codegen. Zero shuffle.
+    """
+    _CTRL = r"[\x00-\x08\x0b-\x1f\x7f]"
+
+    @pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    composed = nfc(F.col(text_col))
+    n_ctrl = F.regexp_count(composed, F.lit(_CTRL))
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(composed, _CTRL, ""), r"[ \t]{2,}", " "
+        )
+    )
+    return (
+        df.withColumn("n_ctrl", n_ctrl.cast("long"))
+        .withColumn(f"{text_col}_norm", cleaned)
+        .withColumn("changed", F.col(f"{text_col}_norm") != F.col(text_col))
     )
 
 
