@@ -1516,6 +1516,21 @@ def q_frontier_traps(spark, sf):
     ).orderBy("host", "template")
 
 
+def q_text_winnow(spark, sf):
+    """Winnowing fingerprints (functions/text.py::winnow_fingerprints,
+    the MOSS construction): char 5-gram md5-prefix hashes, window-4
+    minima selection (ties select both — deterministic, no
+    arbitration), positional digest. The oracle replays BOTH window
+    frames (backward min, forward max-of-mins) with identical partial
+    boundary behavior; density should sit near the theoretical
+    2/(w+1)."""
+    from walker_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf, "documents"), k=5, w=4
+    ).orderBy("doc_id")
+
+
 def q_text_unicode_norm(spark, sf):
     """Unicode hygiene (functions/text.py::normalize_unicode): NFC
     composition + C0/DEL strip + horizontal-whitespace collapse. The
@@ -2519,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_filter": q_text_line_filter,
         "text_bigram_lm": q_text_bigram_lm,
         "text_unicode_norm": q_text_unicode_norm,
+        "text_winnow": q_text_winnow,
         "host_graph": q_host_graph,
         "host_pagerank": q_host_pagerank,
         "event_sessions": q_event_sessions,
@@ -3857,6 +3873,57 @@ def oracle_sql() -> dict[str, str]:
                    count(*) >= 10 AS is_trap
             FROM t GROUP BY host, template
             ORDER BY host, template
+        """,
+        # text_winnow: same two frames (ROWS BETWEEN 3 PRECEDING AND
+        # CURRENT ROW min; CURRENT ROW AND 3 FOLLOWING max-of-mins);
+        # md5-prefix-15 hex -> BIGINT via the 0x cast; digest over the
+        # position-ordered selected pairs.
+        "text_winnow": r"""
+            WITH g0 AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(length(text) - 4, 0) + 1),
+                       i -> substr(text, CAST(i AS INT), 5))) AS gram,
+                     generate_subscripts(list_transform(
+                       range(1, greatest(length(text) - 4, 0) + 1),
+                       i -> substr(text, CAST(i AS INT), 5)), 1) AS pos
+              FROM documents
+            ), g AS MATERIALIZED (
+              SELECT doc_id, pos,
+                     CAST(CAST('0x' || substr(md5(gram), 1, 15) AS UBIGINT)
+                          AS BIGINT) AS h
+              FROM g0
+            ), wm AS MATERIALIZED (
+              SELECT doc_id, pos, h,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+              FROM g
+            ), cov AS MATERIALIZED (
+              SELECT doc_id, pos, h,
+                     max(m) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+              FROM wm
+            ), sel AS MATERIALIZED (
+              SELECT doc_id, pos, h, (c = h) AS s FROM cov
+            ), agg AS MATERIALIZED (
+              SELECT doc_id,
+                     count(*) AS n_grams,
+                     sum(CASE WHEN s THEN 1 ELSE 0 END) AS n_selected,
+                     floor(sum(CASE WHEN s THEN 1 ELSE 0 END)
+                           / CAST(count(*) AS DOUBLE) * 10000 + 5e-1)
+                       / 10000 AS density,
+                     md5(coalesce(string_agg(
+                       CASE WHEN s THEN pos || ':' || h END, ' '
+                       ORDER BY pos), '')) AS digest
+              FROM sel GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(a.n_selected, 0) AS BIGINT) AS n_selected,
+                   coalesce(a.density, 0e0) AS density,
+                   coalesce(a.digest, md5('')) AS digest
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         # text_unicode_norm: chr() builds the decomposed accent and BEL
         # so the SQL literal carries the same code points; nfc_normalize

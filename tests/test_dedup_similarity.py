@@ -1201,3 +1201,29 @@ def test_normalize_unicode(spark):
     assert out[2]["text_norm"] == "ctlheretoo" and out[2]["n_ctrl"] == 2
     assert out[3]["text_norm"] == "lots of space"
     assert not out[4]["changed"]
+
+
+def test_winnow_fingerprints(spark):
+    from walker_spark.functions.text import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running on"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, "PREFIX " + base),     # shifted copy
+            (2, "completely different content with other words entirely"),
+            (3, "abc"),                # shorter than k -> zero grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in winnow_fingerprints(docs, k=5, w=4).collect()}
+    # density near the theoretical 2/(w+1) = 0.4 (boundaries inflate it)
+    assert 0.25 < out[0]["density"] < 0.6
+    assert out[3]["n_grams"] == 0 and out[3]["n_selected"] == 0
+    # digest is position-sensitive: shifted copy differs
+    assert out[0]["digest"] != out[1]["digest"]
+    assert out[0]["digest"] != out[2]["digest"]
+    # determinism under repartitioning
+    again = {r["doc_id"]: r["digest"] for r in winnow_fingerprints(
+        docs.repartition(3), k=5, w=4).collect()}
+    assert all(again[d] == out[d]["digest"] for d in out)

@@ -31,6 +31,7 @@ __all__ = [
     "charlm_metrics",
     "bigram_lm_metrics",
     "normalize_unicode",
+    "winnow_fingerprints",
     "script_metrics",
     "percentile_cut",
     "SCRIPT_PATTERNS",
@@ -807,12 +808,14 @@ def charlm_metrics(
     txt = F.col(text_col)
 
     def grams_of(frame):
-        g = F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.length(txt) - (n - 1), F.lit(0))
+        # F.sequence(1, 0) is DESCENDING [1, 0] — guard sub-n docs
+        g = F.when(
+            F.length(txt) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(txt) - (n - 1)),
+                lambda i: F.substring(txt, i, n),
             ),
-            lambda i: F.substring(txt, i, n),
-        )
+        ).otherwise(F.array().cast("array<string>"))
         return frame.select(
             F.col(id_col), F.explode(g).alias("gram")
         ).withColumn("ctx", F.substring(F.col("gram"), 1, n - 1))
@@ -824,12 +827,13 @@ def charlm_metrics(
     vsize = (
         tr.select(
             F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.length(txt), F.lit(0))
+                F.when(
+                    F.length(txt) >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(txt)),
+                        lambda i: F.substring(txt, i, 1),
                     ),
-                    lambda i: F.substring(txt, i, 1),
-                )
+                ).otherwise(F.array().cast("array<string>"))
             ).alias("ch")
         )
         .agg(F.count_distinct("ch").alias("__v"))
@@ -866,6 +870,129 @@ def charlm_metrics(
             F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
             F.round(F.coalesce(avg_nll, F.lit(0.0)), 6).alias("avg_nll"),
             F.round(F.exp(F.coalesce(avg_nll, F.lit(0.0))), 6).alias("ppl"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003
+    — the MOSS construction, the position-robust alternative to plain
+    shingle sets): hash every character ``k``-gram, then select the
+    window minima — every position whose hash is the minimum of SOME
+    length-``w`` window (the robust-winnowing guarantee: any match of
+    length ≥ w+k-1 shares at least one selected fingerprint).
+
+    Per doc: ``n_grams``, ``n_selected``, ``density`` (selected /
+    grams, 4-dec — theoretical expectation ≈ 2/(w+1)), and ``digest``
+    (md5 of the selected (pos:hash) sequence in position order —
+    byte-exact identity for index/compare).
+
+    All native: gram hashes are md5-prefix BIGINTs (the DuckDB-shared
+    family), the sliding minimum is ONE id-partitioned window frame
+    (rows between −(w−1) and 0) plus a lead-frame check — a position
+    is selected iff it is the min of the window ENDING at its slot or
+    of any of the next w−1 windows, equivalently ``hash ==
+    min(frame)`` for some covering frame; computed as: hash equals the
+    running min over the symmetric cover ``[-(w-1), +(w-1)]``? No —
+    exactly: selected iff ∃ window W ∋ pos with hash == min(W), which
+    for DISTINCT per-window minima is ``hash == min over
+    [pos-w+1, pos+w-1] of any aligned frame``; we evaluate the w
+    candidate frames via the single frame min over [-(w-1), 0] on the
+    LEAD side: pos is selected iff min over [j-w+1, j] == hash(pos)
+    for some j in [pos, pos+w-1]. Ties select BOTH positions (robust
+    variant; deterministic on any engine — no leftmost/rightmost
+    arbitration needed).
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    from pyspark.sql import Window
+
+    txt = F.col(text_col)
+    # NOTE: F.sequence(1, 0) yields a DESCENDING [1, 0] — guard short
+    # docs explicitly or sub-k texts produce two bogus grams
+    grams = F.when(
+        F.length(txt) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(txt) - (k - 1)),
+            lambda i: F.substring(txt, i, k),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(grams).alias("__pos", "__g"),
+    ).select(
+        "__id",
+        "__pos",
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("__h"),
+    )
+    wmin = Window.partitionBy("__id").orderBy("__pos").rowsBetween(-(w - 1), 0)
+    g = g.withColumn("__wm", F.min("__h").over(wmin))
+    # selected iff this hash equals the min of ANY window covering it:
+    # the covering windows end at slots pos..pos+w-1, i.e. their mins
+    # are __wm at those slots — check via a forward-looking frame min
+    # of (__wm == __h at the slot that owns it)… simpler and exact:
+    # hash == min over [pos-(w-1), pos+(w-1)] is NOT equivalent; we
+    # instead mark slot-minima and propagate: pos selected iff
+    # min(__wm over [pos, pos+w-1]) == __h(pos)? Also not it. The
+    # direct statement: pos selected iff EXISTS j in [pos, pos+w-1]
+    # with __wm(j) == __h(pos). Since __wm(j) <= __h(pos) always when
+    # j covers pos, that equality holds iff max over those j of
+    # __wm(j) == __h(pos).
+    wfwd = Window.partitionBy("__id").orderBy("__pos").rowsBetween(0, w - 1)
+    g = g.withColumn("__cov", F.max("__wm").over(wfwd))
+    sel = g.withColumn("__sel", F.col("__cov") == F.col("__h"))
+    per_doc = sel.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.col("__sel").cast("int")).cast("long").alias("n_selected"),
+        (
+            F.floor(
+                F.sum(F.col("__sel").cast("int"))
+                / F.count(F.lit(1))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("density"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__sel"),
+                                F.struct(F.col("__pos"), F.col("__h")),
+                            )
+                        )
+                    ),
+                    # posexplode is 0-based; the digest speaks 1-based
+                    # positions (the SQL/DuckDB convention)
+                    lambda s: F.concat_ws(
+                        ":",
+                        (s["__pos"] + 1).cast("string"),
+                        s["__h"].cast("string"),
+                    ),
+                ),
+                " ",
+            )
+        ).alias("digest"),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+            F.coalesce("density", F.lit(0.0)).alias("density"),
+            F.coalesce("digest", F.md5(F.lit(""))).alias("digest"),
         )
     )
 
