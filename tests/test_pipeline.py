@@ -141,3 +141,58 @@ def test_split_corpus(spark):
         weights={"train": 8, "val": 1, "test": 1},
     ).collect()}
     assert all(grown[r["doc_id"]] == r["split"] for r in out)
+
+
+def test_streaming_recrawl_matches_batch(spark, tmp_path):
+    """Replay the change-observation stream in two waves through a
+    query restart; the final per-page emission must equal the batch
+    recrawl_schedule rows exactly (integer arithmetic both sides)."""
+    from walker_spark.pipeline import recrawl_schedule
+    from walker_spark.streaming.recrawl import streaming_recrawl_schedule
+
+    rows = [
+        (p, r, ((p * 31 + r * 17) % 10) < (p % 5))
+        for p in range(40)
+        for r in range(1, 7)
+    ]
+    hist = spark.createDataFrame(rows, "doc_id long, round long, changed boolean")
+    batch = {
+        r["doc_id"]: (r["n_obs"], r["n_changes"], r["change_rate"],
+                      r["revisit_interval"], r["due_round"])
+        for r in recrawl_schedule(hist, max_interval=8).collect()
+    }
+
+    src, ck, sink = (str(tmp_path / d) for d in ("src", "ck", "sink"))
+    w1 = hist.filter("round <= 3")
+    w2 = hist.filter("round > 3")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "doc_id long, round long, changed boolean"
+        ).parquet(src)
+
+        def emit(b, _e):
+            b.write.mode("append").parquet(sink)
+
+        q = (
+            streaming_recrawl_schedule(stream, max_interval=8)
+            .writeStream.foreachBatch(emit)
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    w1.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    w2.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # counters continue from checkpointed state
+
+    final = {}
+    for r in spark.read.parquet(sink).collect():
+        cur = final.get(r["id"])
+        if cur is None or r["n_obs"] > cur[0]:
+            final[r["id"]] = (r["n_obs"], r["n_changes"], r["change_rate"],
+                              r["revisit_interval"], r["due_round"])
+    assert final == batch
