@@ -1516,6 +1516,26 @@ def q_frontier_traps(spark, sf):
     ).orderBy("host", "template")
 
 
+def q_dedup_containment(spark, sf):
+    """Asymmetric n-gram containment (operators/dedup.py::
+    containment_pairs, Broder 1997): the fixture unions each document
+    with a 12-token excerpt of itself (id + 10^7) — a quote/partial
+    copy that Jaccard under-scores but containment pins at 1.0.
+    Production joins md5-prefix gram hashes ids-only; the oracle joins
+    RAW 8-gram strings (collision-freedom certificate, the repo
+    pattern)."""
+    from walker_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    excerpts = d.select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("text"),
+    )
+    return containment_pairs(
+        d.unionByName(excerpts), n=8, threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
 def q_text_winnow(spark, sf):
     """Winnowing fingerprints (functions/text.py::winnow_fingerprints,
     the MOSS construction): char 5-gram md5-prefix hashes, window-4
@@ -2535,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": q_text_bigram_lm,
         "text_unicode_norm": q_text_unicode_norm,
         "text_winnow": q_text_winnow,
+        "dedup_containment": q_dedup_containment,
         "host_graph": q_host_graph,
         "host_pagerank": q_host_pagerank,
         "event_sessions": q_event_sessions,
@@ -3873,6 +3894,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*) >= 10 AS is_trap
             FROM t GROUP BY host, template
             ORDER BY host, template
+        """,
+        # dedup_containment: raw 8-gram strings (vs production md5
+        # hashes); same normalize; excerpt arm replayed with
+        # list_slice on the single-spaced raw text.
+        "dedup_containment": f"""
+            WITH corp AS MATERIALIZED (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000,
+                     array_to_string(list_slice(string_split(text, ' '),
+                                                1, 12), ' ')
+              FROM documents
+            ), norm AS MATERIALIZED (
+              SELECT doc_id, {_NORM_TEXT_SQL} AS t FROM corp
+            ), g AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, len(string_split(t, ' ')) - 6),
+                       i -> array_to_string(list_slice(string_split(t, ' '),
+                              CAST(i AS INT), CAST(i + 7 AS INT)), ' '))))
+                       AS s
+              FROM norm WHERE len(string_split(t, ' ')) >= 8
+            ), sizes AS MATERIALIZED (
+              SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+            ), inter AS MATERIALIZED (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+              FROM g x JOIN g y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(i / CAST(least(sa.n, sb.n) AS DOUBLE), 4)
+                     AS containment,
+                   round(i / CAST(sa.n AS DOUBLE), 4) AS cont_a,
+                   round(i / CAST(sb.n AS DOUBLE), 4) AS cont_b,
+                   CAST(i AS BIGINT) AS n_shared
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.9
+            ORDER BY id_a, id_b
         """,
         # text_winnow: same two frames (ROWS BETWEEN 3 PRECEDING AND
         # CURRENT ROW min; CURRENT ROW AND 3 FOLLOWING max-of-mins);

@@ -1227,3 +1227,32 @@ def test_winnow_fingerprints(spark):
     again = {r["doc_id"]: r["digest"] for r in winnow_fingerprints(
         docs.repartition(3), k=5, w=4).collect()}
     assert all(again[d] == out[d]["digest"] for d in out)
+
+
+def test_containment_pairs(spark):
+    from walker_spark.operators.dedup import containment_pairs
+
+    long_doc = " ".join(f"tok{i}" for i in range(40))
+    excerpt = " ".join(f"tok{i}" for i in range(10, 22))  # 12-token quote
+    docs = spark.createDataFrame(
+        [
+            (1, long_doc),
+            (2, excerpt),
+            (3, " ".join(f"other{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in containment_pairs(docs, n=8, threshold=0.5).collect()}
+    pair = out[(1, 2)]
+    # all 5 of the excerpt's 8-grams live inside the long doc
+    assert pair["containment"] == 1.0 and pair["cont_b"] == 1.0
+    # directionally: only 5 of the long doc's 33 grams are shared
+    assert pair["cont_a"] == round(5 / 33, 4)
+    assert pair["n_shared"] == 5
+    assert (1, 3) not in out and (2, 3) not in out
+
+    # jaccard would be far below the containment signal
+    from walker_spark.operators.dedup import ngram_jaccard_pairs
+    j = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in ngram_jaccard_pairs(docs, n=8, threshold=0.0).collect()}
+    assert j.get((1, 2), 0.0) < 0.2

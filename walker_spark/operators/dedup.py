@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 __all__ = [
+    "containment_pairs",
     "normalize_text_expr",
     "exact_dedup",
     "shingle_expr",
@@ -817,3 +818,74 @@ def keep_one_per_cluster(
             F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-duplication — n-gram CONTAINMENT (Broder 1997's
+    second resemblance measure): ``|A∩B| / min(|A|,|B|)``. Jaccard
+    misses the quote/partial-copy case (a doc fully embedded in a much
+    longer one scores low union-normalized similarity but containment
+    1.0); this is the gate that catches boilerplate-wrapped copies and
+    excerpt spam.
+
+    Scale shape — deliberately NOT the crossJoin oracle path of
+    :func:`ngram_jaccard_pairs`: candidates come from an inverted-gram
+    equi-join (distinct md5-prefix gram hashes per doc, ids-only
+    through the shuffle; co-occurrence count IS the intersection), so
+    cost follows shared-gram mass, not corpus². Emits both directional
+    containments (``cont_a`` = share of A's grams found in B) plus the
+    symmetric ``containment``; filter on the symmetric one.
+    """
+    toks = F.filter(
+        F.split(normalize_text_expr(F.col(text_col)), " "),
+        lambda s: s != F.lit(""),
+    )
+    cnt = F.size(toks)
+    grams = F.when(
+        cnt >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), cnt - n),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), grams.alias("g")
+    ).filter(F.size("g") > 0)
+    sizes = base.select("id", F.size("g").alias("sz"))
+    ex = base.select("id", F.explode("g").alias("h"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("nb"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / F.least("na", "nb"), 4).alias("containment"),
+            F.round(F.col("inter") / F.col("na"), 4).alias("cont_a"),
+            F.round(F.col("inter") / F.col("nb"), 4).alias("cont_b"),
+            F.col("inter").cast("long").alias("n_shared"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return out
