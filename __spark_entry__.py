@@ -1536,6 +1536,27 @@ def q_dedup_containment(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_text_vocab_stats(spark, sf):
+    """Per-source lexical diversity (functions/text.py::vocab_stats):
+    type-token ratio + hapax share. The soup vocabulary has no natural
+    hapaxes, so docs with doc_id%4 == 0 get a doc-unique token
+    appended on both sides — real hapax teeth per source."""
+    from walker_spark.functions.text import vocab_stats
+
+    did = F.col("doc_id")
+    d = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 4 == 0,
+                F.concat(F.lit(" uniq"), did.cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return vocab_stats(d).orderBy("source")
+
+
 def q_text_winnow(spark, sf):
     """Winnowing fingerprints (functions/text.py::winnow_fingerprints,
     the MOSS construction): char 5-gram md5-prefix hashes, window-4
@@ -2556,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unicode_norm": q_text_unicode_norm,
         "text_winnow": q_text_winnow,
         "dedup_containment": q_dedup_containment,
+        "text_vocab_stats": q_text_vocab_stats,
         "host_graph": q_host_graph,
         "host_pagerank": q_host_pagerank,
         "event_sessions": q_event_sessions,
@@ -3894,6 +3916,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) >= 10 AS is_trap
             FROM t GROUP BY host, template
             ORDER BY host, template
+        """,
+        # text_vocab_stats: the classic word count replayed; same
+        # injection; floor half-up quantizer.
+        "text_vocab_stats": r"""
+            WITH d AS (
+              SELECT source,
+                     text || CASE WHEN doc_id % 4 = 0
+                                  THEN ' uniq' || doc_id ELSE '' END AS t
+              FROM documents
+            ), pairs AS (
+              SELECT source,
+                     unnest(string_split_regex(lower(t), '\W+')) AS tok
+              FROM d
+            ), c AS (
+              SELECT source, tok, count(*) AS c
+              FROM pairs WHERE tok <> '' GROUP BY source, tok
+            )
+            SELECT source,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hapax,
+                   floor(count(*) / CAST(sum(c) AS DOUBLE) * 10000 + 5e-1)
+                     / 10000 AS ttr,
+                   floor(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                         / CAST(greatest(count(*), 1) AS DOUBLE)
+                         * 10000 + 5e-1) / 10000 AS hapax_frac
+            FROM c GROUP BY source ORDER BY source
         """,
         # dedup_containment: raw 8-gram strings (vs production md5
         # hashes); same normalize; excerpt arm replayed with

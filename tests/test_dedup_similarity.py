@@ -1256,3 +1256,25 @@ def test_containment_pairs(spark):
     j = {(r["id_a"], r["id_b"]): r["jaccard"]
          for r in ngram_jaccard_pairs(docs, n=8, threshold=0.0).collect()}
     assert j.get((1, 2), 0.0) < 0.2
+
+
+def test_vocab_stats(spark):
+    from walker_spark.functions.text import vocab_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "x y x y unique1"),
+            (1, "a", "x y z unique2"),
+            (2, "b", "w w w w"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in vocab_stats(docs).collect()}
+    a = out["a"]
+    # source a: tokens x*3 y*3 z*1 unique1 unique2 -> 9 tokens, 5 types, 3 hapax
+    assert (a["n_tokens"], a["n_types"], a["n_hapax"]) == (9, 5, 3)
+    assert a["ttr"] == round(5 / 9 + 1e-12, 4) or abs(a["ttr"] - 0.5556) < 1e-9
+    assert abs(a["hapax_frac"] - 0.6) < 1e-9
+    b = out["b"]
+    assert (b["n_tokens"], b["n_types"], b["n_hapax"]) == (4, 1, 0)
+    assert b["ttr"] == 0.25 and b["hapax_frac"] == 0.0

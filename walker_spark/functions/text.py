@@ -32,6 +32,7 @@ __all__ = [
     "bigram_lm_metrics",
     "normalize_unicode",
     "winnow_fingerprints",
+    "vocab_stats",
     "script_metrics",
     "percentile_cut",
     "SCRIPT_PATTERNS",
@@ -872,6 +873,51 @@ def charlm_metrics(
             F.round(F.exp(F.coalesce(avg_nll, F.lit(0.0))), 6).alias("ppl"),
         )
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group lexical-diversity report — the corpus health panel
+    (vocabulary growth vs Heaps' law, hapax share, type-token ratio)
+    that flags template farms (TTR collapses) and gibberish/OCR noise
+    (hapax share explodes) before they poison a training mix.
+
+    Per group: ``n_tokens``, ``n_types`` (distinct tokens),
+    ``n_hapax`` (tokens occurring exactly once), ``ttr`` and
+    ``hapax_frac`` (4-dec half-up).
+
+    Scale shape: one (group, token) groupBy with map-side combine —
+    the classic word-count — then a group-cardinality rollup; the text
+    column crosses zero exchanges.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda s: s != F.lit("")
+    )
+    pairs = df.select(
+        F.col(group_col).alias("__g"), F.explode(toks).alias("__t")
+    )
+    counts = pairs.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    return counts.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("__c") == 1).cast("int")).cast("long").alias("n_hapax"),
+        (
+            F.floor(F.count(F.lit(1)) / F.sum("__c") * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("ttr"),
+        (
+            F.floor(
+                F.sum((F.col("__c") == 1).cast("int"))
+                / F.greatest(F.count(F.lit(1)), F.lit(1))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("hapax_frac"),
+    ).withColumnRenamed("__g", group_col)
 
 
 def winnow_fingerprints(
