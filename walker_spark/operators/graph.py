@@ -83,6 +83,13 @@ def pagerank(
     e_deg.count()
 
     ranks = v.select("__id", F.lit(_q(1.0 / n)).alias("__r"))
+    ranks = _pagerank_loop(ranks, v, e_deg, outdeg, n, iterations, damping)
+    out = ranks.select(F.col("__id").alias(id_col), F.round("__r", 6).alias("rank"))
+    v.unpersist()
+    return out
+
+
+def _pagerank_loop(ranks, v, e_deg, outdeg, n, iterations, damping):
     for _ in range(int(iterations)):
         contrib = (
             ranks.join(e_deg, ranks["__id"] == e_deg["__s"])
@@ -93,26 +100,41 @@ def pagerank(
             .groupBy("__id")
             .agg(F.sum("__c").alias("__in"))
         )
-        dangling = (
+        # Dangling mass stays IN PLAN as a broadcast one-row aggregate —
+        # no per-iteration driver collect, so the whole fixed-iteration
+        # loop executes as ONE job instead of one action per iteration
+        # (the collects serialized an extra scheduling round-trip each,
+        # and the driver did data work the executors can do). The float
+        # expression tree replicates the historical driver-side
+        # arithmetic operation for operation — ((1-d)/n, then
+        # + (d * q(dangling)) / n, then + d * in) — and _q's
+        # floor(x*1e12 + 0.5)/1e12 is the same IEEE sequence in SQL, so
+        # the quantized trajectory is bit-identical.
+        dang = (
             ranks.join(outdeg, ranks["__id"] == outdeg["__s"], "left_anti")
-            .agg(F.coalesce(F.sum("__r"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(
+                F.floor(
+                    F.coalesce(F.sum("__r"), F.lit(0.0)) * F.lit(10.0**_Q) + F.lit(0.5)
+                ).cast("double").alias("__qd")
+            )
+            .select((F.col("__qd") / F.lit(10.0**_Q)).alias("__qd"))
         )
-        base = (1.0 - damping) / n + damping * _q(dangling) / n
+        base = F.lit((1.0 - damping) / n) + (F.lit(damping) * F.col("__qd")) / F.lit(
+            float(n)
+        )
         ranks = (
             v.join(contrib, "__id", "left")
+            .join(F.broadcast(dang))
             .select(
                 "__id",
                 F.round(
-                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0)),
+                    base + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0)),
                     _Q,
                 ).alias("__r"),
             )
             .localCheckpoint(eager=False)
         )
-    out = ranks.select(F.col("__id").alias(id_col), F.round("__r", 6).alias("rank"))
-    v.unpersist()
-    return out
+    return ranks
 
 
 def hits(

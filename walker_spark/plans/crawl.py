@@ -804,9 +804,15 @@ class Crawler:
             # partitions contributed how many results this round — the
             # audit trail that lets a resumed/replayed job prove it
             # covered the same partitions. One column-pruned job; the
-            # fetched count itself comes from the results parquet
-            # footers (zero jobs).
-            io.write(
+            # fetched count itself comes from the parquet footers (zero
+            # jobs). The lineage job and the frontier job below both
+            # read the just-written results files and are independent,
+            # so the lineage write runs on a driver thread and overlaps
+            # the frontier computation — its tasks back-fill executors
+            # freed by the frontier stage's tail; the join point sits
+            # BEFORE the round manifest so a completed round on disk
+            # still implies its lineage exists (resume invariant).
+            lineage_df = (
                 results.groupBy(
                     F.pmod(F.xxhash64("host"), F.lit(conf.partitions)).alias("host_hash"),
                 )
@@ -814,9 +820,20 @@ class Crawler:
                     F.count(F.lit(1)).alias("rows"),
                     F.countDistinct("host").alias("hosts"),
                     F.sum(F.when(F.col("code") == 200, 1).otherwise(0)).alias("ok_rows"),
-                ),
-                f"{rd}/lineage",
+                )
             )
+            lineage_err: list[BaseException] = []
+
+            def _write_lineage(df=lineage_df, dest=f"{rd}/lineage"):
+                try:
+                    io.write(df, dest)
+                except BaseException as e:  # surfaced at the join point
+                    lineage_err.append(e)
+
+            from pyspark import InheritableThread
+
+            lineage_t = InheritableThread(target=_write_lineage)
+            lineage_t.start()
             m.fetched = io.row_count(f"{rd}/results")
             total_fetched += m.fetched
             m.seconds["fetch_extract"] = round(time.time() - t0, 3)
@@ -875,6 +892,9 @@ class Crawler:
                 bloom.add_urls_distributed(seen)
             m.seconds["frontier"] = round(time.time() - t0, 3)
 
+            lineage_t.join()
+            if lineage_err:
+                raise lineage_err[0]
             atomic_write_json(
                 self._manifest_path(),
                 {
