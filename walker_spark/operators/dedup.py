@@ -48,6 +48,26 @@ __all__ = [
 ]
 
 
+def _spread_map_side(df: DataFrame) -> DataFrame:
+    """Give an expensive per-row map stage (signature UDFs, gram
+    projection) the session's full parallelism when the source scan
+    collapses to fewer splits — a single small parquet file with one
+    row group yields ONE task no matter the conf, so the dominant map
+    cost of the dedup family would run on one core. At production
+    scale inputs carry at least as many splits as cores and this is a
+    no-op — the payload is never shuffled at scale; the round-robin
+    repartition (deterministic under retries via Spark's
+    sort-before-repartition) only fires for small inputs."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - planning quirk, keep the plan
+        return df
+    if nparts >= target:
+        return df
+    return df.repartition(target)
+
+
 def normalize_text_expr(text: Column) -> Column:
     """Dedup key normalization: lowercase, collapse whitespace, strip
     punctuation."""
@@ -315,8 +335,10 @@ def minhash_lsh_pairs(
     # signature + banding run as one vectorized pass per Arrow batch
     # (minhash_text_buckets_udf).
     buckets = minhash_text_buckets_udf(num_hashes, bands, shingle_n)
-    banded = df.select(
-        F.col(id_col).cast("long").alias("id"),
+    banded = _spread_map_side(
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    ).select(
+        "id",
         F.posexplode(buckets(F.col(text_col))).alias("band", "bucket"),
     )
     # cap mega-buckets (skew guard): keep the max_bucket smallest ids
@@ -351,11 +373,10 @@ def minhash_lsh_pairs(
     cand_ids = pair_ids.select(
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
     ).distinct()
-    sh = (
+    sh = _spread_map_side(
         df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
         .join(cand_ids, "id", "left_semi")
-        .select("id", shingle_expr(F.col(text_col), shingle_n).alias("sh"))
-    )
+    ).select("id", shingle_expr(F.col(text_col), shingle_n).alias("sh"))
     pairs = pair_ids.join(
         sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -490,8 +511,10 @@ def simhash_pairs(
             out.append("".join("1" if v > 0 else "0" for v in sums))
         return pd.Series(out)
 
-    base = df.select(
-        F.col(id_col).cast("long").alias("id"),
+    base = _spread_map_side(
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    ).select(
+        "id",
         sim_udf(hashes).alias("sim"),
     # the signature rides the band join packed as ONE long (8 bytes vs a
     # 64-char string), and the verify is a native popcount —
@@ -862,9 +885,9 @@ def containment_pairs(
             )
         ),
     ).otherwise(F.array().cast("array<long>"))
-    base = df.select(
-        F.col(id_col).cast("long").alias("id"), grams.alias("g")
-    ).filter(F.size("g") > 0)
+    base = _spread_map_side(
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    ).select("id", grams.alias("g")).filter(F.size("g") > 0)
     sizes = base.select("id", F.size("g").alias("sz"))
     ex = base.select("id", F.explode("g").alias("h"))
     inter = (
