@@ -698,11 +698,27 @@ class Crawler:
         else:
             seeds_ok = [s for s in self.seeds if s not in set(forbidden)]
 
+        # The redirect-map resolution and the seed-frontier write below
+        # are independent one-time setup jobs; run the resolution on a
+        # driver thread so the two overlap (§ overlap-independent-jobs —
+        # same discipline as the per-round lineage write).
+        redirect_t = None
+        redirect_t_err: list[BaseException] = []
         redirect_map = None
         if self.redirect_edges is not None:
             if not io.exists("redirect_map"):
-                io.write(resolve_redirects(self.redirect_edges), "redirect_map")
-            redirect_map = io.read("redirect_map")
+                from pyspark import InheritableThread
+
+                def _write_redirects():
+                    try:
+                        io.write(resolve_redirects(self.redirect_edges), "redirect_map")
+                    except BaseException as e:
+                        redirect_t_err.append(e)
+
+                redirect_t = InheritableThread(target=_write_redirects)
+                redirect_t.start()
+            else:
+                redirect_map = io.read("redirect_map")
 
         manifest = read_json(self._manifest_path()) if resume else None
         # north-rule canonical mode: the seen key is the canonical form
@@ -744,6 +760,11 @@ class Crawler:
             io.read(frontier_dir).select(*fcols) if frontier_n > 0 else None
         )
         seen = io.read_many(seen_names).select(F.col(seen_key).alias("url"))
+        if redirect_t is not None:
+            redirect_t.join()
+            if redirect_t_err:
+                raise redirect_t_err[0]
+            redirect_map = io.read("redirect_map")
 
         # Bloom prefilter policy: the shards only pay for themselves once
         # the seen table dwarfs the per-round candidate set — 'auto'
