@@ -736,10 +736,23 @@ def _cc_two_phase(
         # shrinks such hubs round over round.
         from pyspark.sql import Window
 
+        # Both star ops run in ONE plan / ONE checkpoint per round: the
+        # symmetric view and the small-star's two emissions come from
+        # explode (each input row expands in place) instead of
+        # self-unions, so no subtree is referenced twice and the
+        # large-star intermediate needs no materialization of its own —
+        # halving the per-round job/checkpoint count. Row multisets are
+        # identical to the historical union formulation; the trailing
+        # distincts normalize exactly as before.
         # ---- large-star ----
-        sym = E.select("a", "b").union(
-            E.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
+        sym = E.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
         wa = Window.partitionBy("a")
         large = (
             sym.withColumn("m", F.least(F.col("a"), F.min("b").over(wa)))
@@ -749,18 +762,26 @@ def _cc_two_phase(
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # ---- small-star (edges oriented max u -> min v) ----
         directed = large.select(F.col("b").alias("u"), F.col("a").alias("v"))
         wu = Window.partitionBy("u")
         dm = directed.withColumn("m", F.min("v").over(wu))
         small = (
-            dm.filter(F.col("v") != F.col("m"))
-            .select(F.col("m").alias("a"), F.col("v").alias("b"))
-            .union(dm.select(F.col("m").alias("a"), F.col("u").alias("b")))
+            dm.select(
+                F.explode(
+                    F.array(
+                        F.when(
+                            F.col("v") != F.col("m"),
+                            F.struct(F.col("m").alias("a"), F.col("v").alias("b")),
+                        ),
+                        F.struct(F.col("m").alias("a"), F.col("u").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .filter(F.col("e").isNotNull())
             .select(
-                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+                F.least("e.a", "e.b").alias("a"), F.greatest("e.a", "e.b").alias("b")
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
@@ -772,9 +793,14 @@ def _cc_two_phase(
             # star forest: every node's component is its min neighbor
             # (members point at the center; the center's neighbors are
             # all larger, so least(id, min-neighbor) is the center)
-            sym = E.select("a", "b").union(
-                E.select(F.col("b").alias("a"), F.col("a").alias("b"))
-            )
+            sym = E.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a"), F.col("b")),
+                        F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                    )
+                ).alias("e")
+            ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
             return (
                 nodes.join(sym, nodes.id == sym.a, "left")
                 .groupBy("id")
