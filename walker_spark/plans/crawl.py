@@ -72,6 +72,18 @@ RESULT_COLUMNS = [f.strip().split(" ")[0] for f in RESULT_SCHEMA.split(", ")]
 
 BLOOM_AUTO_THRESHOLD = 500_000  # seen rows before 'auto' builds the shards
 
+# host_prune='auto' pays one probe job per round (collect the batch's
+# post-redirect host set) to win row-group/partition pruning on the
+# pages scan. That trade only pays when the prunable scan is LARGE:
+# measured on the bench site (a ~20 MB pages table) the probes cost
+# ~0.25 s/round — ~15% of the whole crawl — to prune a scan that takes
+# milliseconds. Below this many input bytes the probe is skipped
+# outright; production page stores (well past the threshold) keep the
+# manual dynamic-partition-pruning behavior unchanged.
+HOST_PRUNE_MIN_BYTES = int(
+    os.environ.get("WALKER_SPARK_HOST_PRUNE_MIN_BYTES", str(4 << 30))
+)
+
 
 def resolve_redirects(redirects: DataFrame, cap: int = REDIRECT_CAP) -> DataFrame:
     """redirect_edges(src, code, dst) → redirect_map(src, final_url,
@@ -681,10 +693,31 @@ class Crawler:
         with open(self.io.path("metrics.jsonl"), "a") as f:
             f.write(json.dumps(m.__dict__) + "\n")
 
+    def _effective_host_prune(self) -> list[str] | str | None:
+        """Resolve ``host_prune='auto'`` once per run: keep the per-round
+        probe only when the pages scan is big enough for pruning to
+        matter (see HOST_PRUNE_MIN_BYTES); explicit lists/None pass
+        through untouched. Sources without file listings (views, RDD
+        frames) keep the probe — their scan cost is unknown."""
+        if self.host_prune != "auto":
+            return self.host_prune
+        try:
+            total = 0
+            for f in self.pages.inputFiles():
+                p = f[7:] if f.startswith("file://") else f
+                if os.path.exists(p):
+                    total += os.path.getsize(p)
+                if total >= HOST_PRUNE_MIN_BYTES:
+                    return "auto"
+        except Exception:
+            return "auto"
+        return None
+
     def run(self, resume: bool = False) -> dict:
         conf = self.conf
         io = self.io
         t_start = time.time()
+        host_prune = self._effective_host_prune()
 
         forbidden = self.check_seeds()
         if forbidden and not self.multi_host:
@@ -809,7 +842,7 @@ class Crawler:
                 conf.group_header != "",
                 self.multi_host,
                 conf.target.base_url,
-                host_prune=self.host_prune,
+                host_prune=host_prune,
                 scrape_func=self.scrape_func,
                 validation_func=self.validation_func,
                 group_validator=self.group_validator,
