@@ -1278,3 +1278,20 @@ def test_vocab_stats(spark):
     b = out["b"]
     assert (b["n_tokens"], b["n_types"], b["n_hapax"]) == (4, 1, 0)
     assert b["ttr"] == 0.25 and b["hapax_frac"] == 0.0
+
+
+def test_spread_map_side_gating(spark):
+    """The r6 map-side spread fires only when the source has fewer
+    partitions than the session's parallelism, and never changes rows."""
+    from walker_spark.operators.dedup import _spread_map_side
+
+    target = spark.sparkContext.defaultParallelism
+    small = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "id long, text string"
+    ).coalesce(1)
+    spread = _spread_map_side(small)
+    assert spread.rdd.getNumPartitions() == target
+    assert sorted(r["id"] for r in spread.collect()) == list(range(10))
+
+    wide = small.repartition(target + 3)
+    assert _spread_map_side(wide) is wide  # no-op above the threshold

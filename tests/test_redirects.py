@@ -87,6 +87,45 @@ def test_resolve_redirects_matches_oracle(spark, n_hops):
             assert row["final_url"] == page.url
 
 
+def test_resolve_redirects_shared_tail(spark):
+    """Two chains merging into one shared tail — crosses the
+    continuation-subgraph boundary the r6 resolver doubles over (heads
+    are not continuation targets, the shared tail is); every src must
+    match the reference dispatcher exactly."""
+    pages = {
+        "https://h.example/a": StorePage(url="https://h.example/a", redirect_to="https://h.example/b", redirect_code=301),
+        "https://h.example/b": StorePage(url="https://h.example/b", redirect_to="https://h.example/c", redirect_code=302),
+        "https://h.example/x": StorePage(url="https://h.example/x", redirect_to="https://h.example/c", redirect_code=301),
+        "https://h.example/c": StorePage(url="https://h.example/c", redirect_to="https://h.example/d", redirect_code=301),
+        "https://h.example/d": StorePage(url="https://h.example/d", html=b"<html></html>"),
+    }
+    store = PageStore(pages)
+    edges = spark.createDataFrame(
+        [(p.url, p.redirect_code, p.redirect_to) for p in pages.values() if p.redirect_to],
+        "src string, code int, dst string",
+    )
+    got = {r["src"]: r for r in resolve_redirects(edges).collect()}
+    d = _dispatcher(store)
+    assert len(got) == 4
+    for src in got:
+        page, chain, err = d._fetch(src)
+        assert got[src]["error"] == err, src
+        assert [(c["code"], c["url"]) for c in got[src]["redirects"]] == chain, src
+        assert got[src]["final_url"] == (page.url if page else None), src
+
+
+def test_resolve_redirects_self_loop(spark):
+    edges = spark.createDataFrame(
+        [("https://h.example/s", 301, "https://h.example/s")],
+        "src string, code int, dst string",
+    )
+    row = resolve_redirects(edges).collect()[0]
+    assert row["error"] == "stopped after 10 redirects"
+    assert row["final_url"] is None
+    assert len(row["redirects"]) == 9
+    assert all(c["url"] == "https://h.example/s" for c in row["redirects"])
+
+
 def test_resolve_redirects_cycle(spark):
     edges = spark.createDataFrame(
         [("https://h.example/a", 302, "https://h.example/b"), ("https://h.example/b", 302, "https://h.example/a")],
