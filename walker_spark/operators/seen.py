@@ -22,6 +22,7 @@ traffic is executor→executor tree-shaped, not all-to-driver.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -162,8 +163,22 @@ def split_by_bloom(cands: DataFrame, bloom: BloomShards, key: str = "url") -> Da
     return cands.withColumn("maybe_seen", maybe_seen(F.col(key)))
 
 
+# seen tables at or below this row count broadcast into the anti-join
+# (urls are ~50-100 B, so the cap bounds the built relation to tens of
+# MB). The crawl loop tracks the exact seen row count from parquet
+# footers, so the decision costs zero jobs and is scale-adaptive: early
+# rounds (and sandbox-sized crawls) skip the candidate-side shuffle
+# entirely, while a production-sized seen table keeps the shuffle
+# anti-join (billions of rows can never broadcast).
+SEEN_BROADCAST_MAX = int(os.environ.get("WALKER_SPARK_SEEN_BROADCAST_MAX", "1000000"))
+
+
 def seen_anti_join(
-    cands: DataFrame, seen: DataFrame, bloom: BloomShards | None, key: str = "url"
+    cands: DataFrame,
+    seen: DataFrame,
+    bloom: BloomShards | None,
+    key: str = "url",
+    seen_rows: int | None = None,
 ) -> DataFrame:
     """The correctness-critical J2: candidates that are genuinely new.
 
@@ -171,13 +186,20 @@ def seen_anti_join(
     normalized url, or the canonical form in north-rule canonical mode).
     ``seen``: the exact seen table (column ``url`` holding the same key
     kind). With a bloom, only the maybe-seen slice pays the shuffle; the
-    bloom-negative slice unions in for free.
+    bloom-negative slice unions in for free. ``seen_rows`` (exact count,
+    when the caller knows it) lets a small seen side broadcast — same
+    ``left_anti`` semantics, no exchange of the candidate side.
     """
     s = seen.select(F.col("url").alias("_seen_key"))
+    small = seen_rows is not None and 0 <= seen_rows <= SEEN_BROADCAST_MAX
     if bloom is None:
+        if small:
+            s = F.broadcast(s)
         return cands.join(s, cands[key] == s["_seen_key"], "left_anti")
     tagged = split_by_bloom(cands, bloom, key)
     fresh = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    if small:
+        s = F.broadcast(s)
     verified = maybe.join(s, maybe[key] == s["_seen_key"], "left_anti")
     return fresh.unionByName(verified)

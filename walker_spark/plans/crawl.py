@@ -905,7 +905,9 @@ class Crawler:
             # is_new=true subdirectory IS the round's seen delta — no
             # separate seen-delta write job, no second anti-join against
             # the growing seen table.
-            new = seen_anti_join(cand, seen, bloom, key=seen_key).select(*fcols)
+            new = seen_anti_join(
+                cand, seen, bloom, key=seen_key, seen_rows=seen_count
+            ).select(*fcols)
             out = new.withColumn("is_new", F.lit(True))
             if conf.host_budget > 0:
                 # leftover = frontier ∖ batch; batch keys are small →
