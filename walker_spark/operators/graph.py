@@ -27,6 +27,8 @@ Scale shape per iteration (the standard distributed PageRank plan):
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -81,16 +83,52 @@ def pagerank(
     # edges with the out-degree attached, partitioned once, reused per iter
     e_deg = e.join(outdeg, "__s").persist()
     e_deg.count()
+    # The dangling SET (nodes with no out-edge) is static across
+    # iterations — only its ranks change — so flag it ONCE on the vertex
+    # table and let the flag ride the rank rows: the per-iteration mass
+    # sum becomes a filter + scalar aggregate over the (checkpointed)
+    # ranks, with no join and no re-derivation of out-degrees. A web
+    # graph's dangling set is a large fraction of its nodes, so a
+    # per-iteration anti-join (let alone a broadcast of the set) would
+    # not scale; one boolean per vertex does. Same ids, same summed
+    # values: the trajectory is unchanged (sum-order freedom is ~1e-15,
+    # eight orders below the 1e-12 quantum, per the module doc).
+    vd = (
+        v.join(
+            outdeg.select(F.col("__s").alias("__id"), F.lit(False).alias("__dang")),
+            "__id",
+            "left",
+        )
+        .select("__id", F.coalesce(F.col("__dang"), F.lit(True)).alias("__dang"))
+        .persist()
+    )
+    vd.count()
 
-    ranks = v.select("__id", F.lit(_q(1.0 / n)).alias("__r"))
-    ranks = _pagerank_loop(ranks, v, e_deg, outdeg, n, iterations, damping)
+    ranks = vd.select("__id", F.lit(_q(1.0 / n)).alias("__r"), "__dang")
+    ranks = _pagerank_loop(ranks, vd, e_deg, n, iterations, damping)
     out = ranks.select(F.col("__id").alias(id_col), F.round("__r", 6).alias("rank"))
     v.unpersist()
+    vd.unpersist()
     return out
 
 
-def _pagerank_loop(ranks, v, e_deg, outdeg, n, iterations, damping):
-    for _ in range(int(iterations)):
+# The per-iteration localCheckpoint converts the rank frame to an RDD
+# scan, which blocks whole-stage fusion across iterations and costs one
+# materialization per iteration — measured ~2× the whole loop's wall on
+# sandbox-sized graphs. But a fully fused loop re-executes the rank
+# subtree once per reference, and ranks is referenced twice per
+# iteration (contrib + dangling mass), so the un-cut plan re-computes
+# ~2^iterations tiny subtrees: fine for few iterations over a small
+# graph, catastrophic for either a deep loop or a web-scale graph.
+# Fuse only when BOTH are small; everything else keeps the original
+# checkpoint-per-iteration loop (constant plan size at any scale).
+_FUSE_MAX_ITERS = 6
+_FUSE_MAX_NODES = int(os.environ.get("WALKER_SPARK_PAGERANK_FUSE_MAX", "2000000"))
+
+
+def _pagerank_loop(ranks, vd, e_deg, n, iterations, damping):
+    fused = int(iterations) <= _FUSE_MAX_ITERS and n <= _FUSE_MAX_NODES
+    for _i in range(int(iterations)):
         contrib = (
             ranks.join(e_deg, ranks["__id"] == e_deg["__s"])
             .select(
@@ -111,7 +149,7 @@ def _pagerank_loop(ranks, v, e_deg, outdeg, n, iterations, damping):
         # floor(x*1e12 + 0.5)/1e12 is the same IEEE sequence in SQL, so
         # the quantized trajectory is bit-identical.
         dang = (
-            ranks.join(outdeg, ranks["__id"] == outdeg["__s"], "left_anti")
+            ranks.filter(F.col("__dang"))
             .agg(
                 F.floor(
                     F.coalesce(F.sum("__r"), F.lit(0.0)) * F.lit(10.0**_Q) + F.lit(0.5)
@@ -123,7 +161,7 @@ def _pagerank_loop(ranks, v, e_deg, outdeg, n, iterations, damping):
             float(n)
         )
         ranks = (
-            v.join(contrib, "__id", "left")
+            vd.join(contrib, "__id", "left")
             .join(F.broadcast(dang))
             .select(
                 "__id",
@@ -131,9 +169,11 @@ def _pagerank_loop(ranks, v, e_deg, outdeg, n, iterations, damping):
                     base + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0)),
                     _Q,
                 ).alias("__r"),
+                "__dang",
             )
-            .localCheckpoint(eager=False)
         )
+        if not fused:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
