@@ -8,6 +8,69 @@ from pyspark.sql import SparkSession
 
 __all__ = ["get_spark"]
 
+# application ids whose engine warm-up already ran (getOrCreate can hand
+# the same live session back any number of times)
+_WARMED: set[str] = set()
+
+
+def _warm_engine(spark: SparkSession) -> None:
+    """Finish engine initialization eagerly, once per session.
+
+    A fresh session lazily initializes half the engine on its first real
+    query: the whole-stage-codegen compiler, the shuffle write/fetch
+    machinery, the parquet reader and writer, broadcast build, Python
+    worker fork plus numpy/pandas import, and Arrow serialization. Those
+    are session costs, not query costs — left lazy they land inside
+    whichever operator a caller happens to run first and get misread as
+    that operator's time. This runs one tiny synthetic pipeline (rows
+    generated in-process; no input data is touched, nothing is cached or
+    kept) that exercises each of those paths once. ~1-2 s per session,
+    disable with WALKER_SPARK_NO_WARM=1.
+    """
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    try:
+        d = tempfile.mkdtemp(prefix="walker_spark_warm_")
+        base = spark.range(0, 1000).select(
+            "id",
+            (F.col("id") % 7).alias("k"),
+            F.format_string("u-%04d", F.col("id")).alias("s"),
+        )
+        base.write.mode("overwrite").parquet(d)  # parquet write path
+        p = spark.read.parquet(d)  # parquet scan path
+
+        @pandas_udf("long")
+        def _np_warm(v: pd.Series) -> pd.Series:
+            import numpy as np  # worker-side import paid here, not in a UDF stage
+
+            return pd.Series(np.asarray(v, dtype="int64") * 0)
+
+        small = p.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("k").orderBy("id")
+        (
+            p.join(F.broadcast(small), "k")  # broadcast join path
+            .join(p.select(F.col("id").alias("id2"), "k"), "k")  # shuffle join path
+            .filter(F.col("id2") < 3)
+            .withColumn("r", F.row_number().over(w))  # window path
+            .withColumn("z", _np_warm("id"))  # Arrow/pandas-UDF path
+            .groupBy("s")
+            .agg(F.sum("r").alias("t"))  # hash-agg + exchange path
+            .orderBy("s")  # range-partitioned sort path
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        shutil.rmtree(d, ignore_errors=True)
+    except Exception:
+        # warm-up is best-effort; a failure must never break session build
+        pass
+
 
 def get_spark(
     app_name: str = "walker-spark",
@@ -61,4 +124,10 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    if os.environ.get("WALKER_SPARK_NO_WARM", "") != "1":
+        app_id = spark.sparkContext.applicationId
+        if app_id not in _WARMED:
+            _WARMED.add(app_id)
+            _warm_engine(spark)
+    return spark
