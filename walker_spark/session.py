@@ -66,6 +66,41 @@ def _warm_engine(spark: SparkSession) -> None:
             .mode("overwrite")
             .save()
         )
+
+        # Array-typed Arrow serialization is a separate lazy path (its
+        # own writers on both sides of the boundary) and every
+        # signature/banding UDF in the dedup family returns arrays —
+        # measured ~2 s of first-use cost landing in whichever of them a
+        # session runs first. One generate (posexplode) stage over a
+        # full-parallelism range warms it on every worker.
+        @pandas_udf("array<long>")
+        def _arr_warm(v: pd.Series) -> pd.Series:
+            import numpy as np
+
+            return pd.Series([np.zeros(2, dtype="int64") for _ in v])
+
+        (
+            spark.range(0, 256, 1, spark.sparkContext.defaultParallelism)
+            .select(F.posexplode(_arr_warm("id")))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+        # mapInPandas rides its own serializer pair (iterator of pandas
+        # frames in, arbitrary-cardinality frames out) — the crawl's
+        # extract stage is one and pays its first-use cost otherwise.
+        def _mip_warm(batches):
+            for pdf in batches:
+                yield pdf.assign(m=[b"" for _ in range(len(pdf))])
+
+        (
+            spark.range(0, 64, 1, spark.sparkContext.defaultParallelism)
+            .mapInPandas(_mip_warm, "id long, m binary")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
         shutil.rmtree(d, ignore_errors=True)
     except Exception:
         # warm-up is best-effort; a failure must never break session build
