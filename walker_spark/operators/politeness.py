@@ -26,6 +26,8 @@ unsalted counterfactual above the threshold.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -51,12 +53,25 @@ def _window_group_limit_threshold(spark) -> int:
         return 1000
 
 
+# frontiers at or below this many rows pick the plain single-window
+# plan even when the budget is above Spark's group-limit threshold: the
+# worst skew case (every row on one host) sorts at most this many rows
+# on one task — cheaper than the salted plan's second shuffle+window.
+# Above it, a hot host's single-task sort is the real skew hazard the
+# salted two-phase exists for (bench: 48M half-hot rows, plain 43.4 s vs
+# salted 12.4 s).
+SALTED_MIN_FRONTIER = int(
+    os.environ.get("WALKER_SPARK_SALTED_MIN_FRONTIER", "2000000")
+)
+
+
 def select_fetch_batch(
     frontier: DataFrame,
     host_budget: int,
     n_salts: int = 8,
     record_order: bool = False,
     strategy: str = "auto",
+    frontier_rows: int | None = None,
 ) -> DataFrame:
     """Returns the round's fetch batch (leftover = frontier ∖ batch is the
     caller's anti-join, done against the *materialized* batch so the
@@ -80,7 +95,11 @@ def select_fetch_batch(
       shard-wise. The defense when the group-limit rule does NOT fire
       (budget above the threshold).
     * ``auto`` (default) — ``plain`` iff the budget is inside the
-      group-limit threshold, else ``salted``.
+      group-limit threshold OR the caller-supplied ``frontier_rows``
+      says the whole frontier is below ``SALTED_MIN_FRONTIER`` (worst-
+      case one-task sort is then bounded and cheaper than the salted
+      plan's extra shuffle+window), else ``salted``. Output is
+      identical either way; only cost differs.
 
     With ``record_order`` the batch gains a round-global ``batch_pos``
     (host-ascending, then priority) — a single-partition sort used only
@@ -95,7 +114,8 @@ def select_fetch_batch(
 
     if strategy == "auto":
         wgl = _window_group_limit_threshold(frontier.sparkSession)
-        strategy = "plain" if host_budget <= wgl else "salted"
+        small = frontier_rows is not None and 0 <= frontier_rows <= SALTED_MIN_FRONTIER
+        strategy = "plain" if (host_budget <= wgl or small) else "salted"
     if strategy == "plain" or n_salts <= 1:
         w_host = Window.partitionBy("host").orderBy(*priority_order())
         batch = (

@@ -817,14 +817,24 @@ class Crawler:
 
             t0 = time.time()
             batch = select_fetch_batch(
-                frontier, conf.host_budget, conf.hot_host_salts, self.record_order
+                frontier,
+                conf.host_budget,
+                conf.hot_host_salts,
+                self.record_order,
+                frontier_rows=frontier_n,
             )
+            # When the whole frontier fits the per-host budget (each
+            # host's rows ≤ total rows ≤ budget), the batch provably
+            # equals the frontier: the leftover anti-join below is an
+            # empty no-op and the batch has a single consumer, so both
+            # the persist and the leftover plan are skipped outright.
+            leftover_empty = 0 < frontier_n <= conf.host_budget
             persisted_batch = False
             if self.record_order:
                 # durable batch files double as the crawl-order record
                 io.write(batch, f"{rd}/batch")
                 batch = io.read(f"{rd}/batch")
-            elif conf.host_budget > 0:
+            elif conf.host_budget > 0 and not leftover_empty:
                 # memory-persist: the batch feeds both the fetch join and
                 # the leftover anti-join; a parquet round-trip per round
                 # is pure overhead (resume is round-granular anyway).
@@ -909,12 +919,13 @@ class Crawler:
                 cand, seen, bloom, key=seen_key, seen_rows=seen_count
             ).select(*fcols)
             out = new.withColumn("is_new", F.lit(True))
-            if conf.host_budget > 0:
+            if conf.host_budget > 0 and not leftover_empty:
                 # leftover = frontier ∖ batch; batch keys are small →
                 # broadcast anti-join, the frontier never shuffles here.
                 # With no budget the batch IS the frontier — leftover is
                 # provably empty and the broadcast would be frontier-sized
                 # (a driver OOM at the 10^10 design point), so skip it.
+                # (Same skip when frontier_n ≤ budget: batch == frontier.)
                 leftover = frontier.join(
                     F.broadcast(batch.select("url")), "url", "left_anti"
                 ).select(*fcols)
