@@ -1295,3 +1295,47 @@ def test_spread_map_side_gating(spark):
 
     wide = small.repartition(target + 3)
     assert _spread_map_side(wide) is wide  # no-op above the threshold
+
+
+def test_shingle_hashes_udf_jaccard_matches_expr(spark):
+    """The vectorized verify shingles (blake2b family) must induce the
+    SAME pairwise Jaccard as the native shingle_expr (xxhash64 family):
+    hashes are a set-equality proxy for the window strings, so any
+    jaccard difference would be a normalization/window-rule divergence
+    (or a collision) and would break the minhash oracle."""
+    from walker_spark.operators.dedup import shingle_expr, shingle_hashes_udf
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "Punctuation, splitting; and   WHITESPACE\tcollapse rules!",
+        "punctuation splitting and whitespace collapse rules",
+        "short doc",  # below the window size: whole-text fallback
+        "",  # empty after normalization
+        "ünïcode Text With MIXED case und Straße tokens",
+        "ünïcode text with mixed case und straße tokens",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    native = {
+        r["id"]: set(r["sh"])
+        for r in df.select("id", shingle_expr(F.col("text"), 3).alias("sh")).collect()
+    }
+    udf = {
+        r["id"]: set(r["sh"])
+        for r in df.select(
+            "id", shingle_hashes_udf(3)(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert set(native) == set(udf)
+    for i in native:
+        # identical set cardinality per doc...
+        assert len(native[i]) == len(udf[i]), f"doc {i} window-set size differs"
+    for i in native:
+        for j in native:
+            if i >= j:
+                continue
+            jn = len(native[i] & native[j]) / max(1, len(native[i] | native[j]))
+            ju = len(udf[i] & udf[j]) / max(1, len(udf[i] | udf[j]))
+            assert abs(jn - ju) < 1e-12, f"jaccard({i},{j}) {jn} != {ju}"
