@@ -235,17 +235,30 @@ def hits(
         F.lit(_q(1.0 / n)).alias("__a"),
     )
     for _ in range(int(iterations)):
+        # The L1 totals ride the plan as broadcast one-row aggregates
+        # (the same discipline as PageRank's dangling mass): the loop no
+        # longer pays two driver collects per iteration, the driver does
+        # no data work, and the whole fixed-iteration loop executes as
+        # one job at the final action. The totals are integer sums on
+        # the 1e-12 grid, so the in-plan value is the exact integer the
+        # collect produced, and long→double cast is the same IEEE
+        # conversion float(atot) performed. The eager=False checkpoint
+        # on each half-step's aggregate replaces the materialization the
+        # collect used to force — without it the next half-step's
+        # lineage would recompute the aggregate (it is referenced by
+        # both the total and the join).
         hint = cur.select("__id", to_grid(F.col("__h")).alias("__hi"))
         araw = (
             hint.join(e, hint["__id"] == e["__s"])
             .groupBy(F.col("__t").alias("__id"))
             .agg(F.sum("__hi").alias("__x"))
+            .localCheckpoint(eager=False)
         )
-        atot = araw.agg(F.sum("__x")).collect()[0][0]
-        a = v.join(araw, "__id", "left").select(
+        atot = araw.agg(F.sum("__x").cast("double").alias("__tot"))
+        a = v.join(araw, "__id", "left").join(F.broadcast(atot)).select(
             "__id",
             F.round(
-                F.coalesce(F.col("__x"), F.lit(0)) / F.lit(float(atot)), _Q
+                F.coalesce(F.col("__x"), F.lit(0)) / F.col("__tot"), _Q
             ).alias("__a"),
         )
         aint = a.select("__id", to_grid(F.col("__a")).alias("__ai"))
@@ -253,12 +266,13 @@ def hits(
             aint.join(e, aint["__id"] == e["__t"])
             .groupBy(F.col("__s").alias("__id"))
             .agg(F.sum("__ai").alias("__x"))
+            .localCheckpoint(eager=False)
         )
-        htot = hraw.agg(F.sum("__x")).collect()[0][0]
-        h = v.join(hraw, "__id", "left").select(
+        htot = hraw.agg(F.sum("__x").cast("double").alias("__tot"))
+        h = v.join(hraw, "__id", "left").join(F.broadcast(htot)).select(
             "__id",
             F.round(
-                F.coalesce(F.col("__x"), F.lit(0)) / F.lit(float(htot)), _Q
+                F.coalesce(F.col("__x"), F.lit(0)) / F.col("__tot"), _Q
             ).alias("__h"),
         )
         cur = (
