@@ -1477,8 +1477,13 @@ def pack_sequences(
     if mode != "greedy":
         raise ValueError(f"unknown packing mode {mode!r}")
 
+    # Derive the id field's type from the input frame: concat mode
+    # preserves it naturally, and a hardcoded `long` here broke greedy
+    # mode for string-keyed corpora (URL ids, the WET record-key
+    # convention) at applyInPandas schema conversion.
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, shard long, n_tokens long, start_offset long, "
+        f"{id_col} {id_type}, shard long, n_tokens long, start_offset long, "
         "first_bin long, last_bin long, n_bins_spanned long, overflow boolean"
     )
 

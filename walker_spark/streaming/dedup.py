@@ -58,7 +58,15 @@ def streaming_exact_dedup(
     The key is the 128-bit md5 of the normalized text, not a 64-bit
     hash: at the 10^10-doc scale this module targets, expected 64-bit
     collisions (~n^2/2^65) would silently drop millions of
-    non-duplicates; at 128 bits the expectation is ~1e-19."""
+    non-duplicates; at 128 bits the expectation is ~1e-19.
+
+    Upgrade note (r5 key change xxhash64→md5): ``text_hash`` changed
+    public type from long to string, which is ALSO the grouping-key
+    type of the ``streaming_dup_counts`` stateful query — a checkpoint
+    written by the pre-r5 long-keyed query cannot be resumed by this
+    version (state key/schema mismatch), and downstream tables typed
+    long need a one-time migration. Start upgraded streaming queries
+    from a fresh checkpoint."""
     hashed = stream.withColumn(
         "text_hash", F.md5(normalize_text_expr(F.col(text_col)))
     )

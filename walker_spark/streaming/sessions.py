@@ -12,6 +12,20 @@ final watermark passed (proven by test_streaming_sessions). Events
 arriving later than the watermark are dropped by the engine before
 the state function sees them — the standard bounded-lateness trade.
 
+Parity scope (honesty note): the batch-equality claim above holds for
+IN-ORDER streams, or any stream run with ``watermark='0 seconds'``
+(where accepted-late events cannot exist). With a nonzero watermark
+and out-of-order input, two known divergences remain: an accepted late
+event earlier than an open session's start does not lower the recorded
+start (start is only set when the state is empty), and a session
+closed by an in-batch gap is emitted immediately — before its deadline
+passes the watermark — so a later still-accepted event inside that
+already-emitted window starts a second overlapping session instead of
+extending the first. Replays and the engine's tests use in-order
+streams; out-of-order parity would need start=min tracking plus
+deferred emission of gap-closed sessions until their event-time
+timeout fires.
+
 State shape: one row per OPEN session per user (start/end epoch
 MICROseconds — full parquet timestamp precision, so emitted sessions
 compare bit-for-bit with the batch op; only the timeout clock is
