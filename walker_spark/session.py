@@ -4,6 +4,13 @@ from __future__ import annotations
 
 import os
 
+# Module-level on purpose: _warm_engine's pandas-UDF type hints are
+# strings under ``from __future__ import annotations`` and get resolved
+# against THIS module's globals — with pandas imported function-locally
+# the decorator raised UNSUPPORTED_SIGNATURE into the warm-up's
+# best-effort except, silently reducing the whole engine warm-up to its
+# first two statements (found via WALKER_SPARK_WARM_DEBUG=1).
+import pandas as pd  # noqa: F401  (resolves warm-up UDF annotations)
 from pyspark.sql import SparkSession
 
 __all__ = ["get_spark"]
@@ -24,19 +31,37 @@ def _warm_engine(spark: SparkSession) -> None:
     whichever operator a caller happens to run first and get misread as
     that operator's time. This runs one tiny synthetic pipeline (rows
     generated in-process; no input data is touched, nothing is cached or
-    kept) that exercises each of those paths once. ~1-2 s per session,
+    kept) that exercises each of those paths once. ~2-5 s per session,
     disable with WALKER_SPARK_NO_WARM=1.
+
+    Best-effort wrapper: a warm-up failure must never break session
+    build, but it must also never be invisible — a silently-skipped
+    warm-up just moves session costs back into the first real query
+    (exactly what happened when the pandas-UDF type hints stopped
+    resolving, see the module-level pandas import). The raising body
+    lives in :func:`_warm_pipeline` so tests can drive it directly;
+    set WALKER_SPARK_WARM_DEBUG=1 to see a swallowed failure.
     """
+    try:
+        _warm_pipeline(spark)
+    except Exception:
+        if os.environ.get("WALKER_SPARK_WARM_DEBUG", "") == "1":
+            import traceback
+
+            traceback.print_exc()
+
+
+def _warm_pipeline(spark: SparkSession) -> None:
+    """The warm-up pipeline itself; raises on failure (see wrapper)."""
     import shutil
     import tempfile
 
-    import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
+    d = tempfile.mkdtemp(prefix="walker_spark_warm_")
     try:
-        d = tempfile.mkdtemp(prefix="walker_spark_warm_")
         base = spark.range(0, 1000).select(
             "id",
             (F.col("id") % 7).alias("k"),
@@ -101,10 +126,64 @@ def _warm_engine(spark: SparkSession) -> None:
             .mode("overwrite")
             .save()
         )
+
+        # Higher-order functions (transform/filter/aggregate/zip_with
+        # lambdas) have no codegen — they run on the catalyst
+        # interpreter, and so do the hash/string kernels nested inside
+        # them (md5, xxhash64, conv, bin, regexp). The JVM only
+        # optimizes those interpreter methods after thousands of calls,
+        # so the first heavy signature stage of a session (minhash
+        # shingles, simhash bit-folds) otherwise pays the JIT lag:
+        # measured 5.7-6.2 s -> 4.1-4.9 s (simhash) and ~1 s off the
+        # minhash cold shot with this stage, which runs ~300k
+        # interpreted lambda evals over generated rows.
+        ws = F.filter(
+            F.split(F.regexp_replace(F.lower(F.col("s")), r"[^\w\s]", " "), " "),
+            lambda c: c != F.lit(""),
+        )
+        whashes = F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, 1, 3)), i),
+        )
+        wmd5s = F.transform(
+            whashes,
+            lambda h: F.conv(F.substring(F.md5(h.cast("string")), 1, 16), 16, -10).cast(
+                "long"
+            ),
+        )
+
+        def _wbitvec(h):
+            chars = F.filter(
+                F.split(F.lpad(F.bin(h), 16, "0"), ""), lambda c: c != F.lit("")
+            )
+            return F.transform(chars, lambda c: F.when(c == "1", 1).otherwise(-1))
+
+        wsums = F.aggregate(
+            F.slice(wmd5s, 1, 8),
+            F.array_repeat(F.lit(0), 16),
+            lambda acc, h: F.zip_with(acc, _wbitvec(h), lambda a, b: a + b),
+        )
+        (
+            spark.range(0, 1000, 1, 8)
+            .select(
+                "id",
+                F.format_string("warm row %04d text-with, punct! %d", "id", "id").alias(
+                    "s"
+                ),
+            )
+            .select(
+                F.array_distinct(wmd5s).alias("d"),
+                F.concat_ws(
+                    "", F.transform(wsums, lambda v: F.when(v > 0, "1").otherwise("0"))
+                ).alias("g"),
+                F.bit_count(F.element_at(wmd5s, 1)).alias("bc"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    finally:
         shutil.rmtree(d, ignore_errors=True)
-    except Exception:
-        # warm-up is best-effort; a failure must never break session build
-        pass
 
 
 def get_spark(
